@@ -1,0 +1,112 @@
+"""Vectorized ray-primitive intersectors.
+
+Math transcribed from the reference kernel (src/shaders/pathTracer.comp:97-133)
+but written as batched array ops: on TPU a "thread" is a vector lane, so every
+intersector maps over arbitrary leading batch dimensions instead of scalar
+per-thread code.  Conventions:
+
+- rays are (origin, direction, inv_direction) float32 arrays with a trailing
+  axis of 3; any broadcastable leading shape is allowed.
+- "no hit" is signalled by sentinel values identical to the reference's
+  (-1.0 for spheres/triangles, empty interval for boxes) so that downstream
+  comparisons reproduce reference behavior exactly.
+
+Everything here is differentiable; these functions are used by both the
+golden renderer (render/golden.py) and the autodiff path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+F32 = jnp.float32
+KINFINITY = jnp.float32(3.402823466e38)  # constants.glsl kInfinity
+
+
+def ray_box(origin, inv_direction, bmin, bmax):
+    """Slab test. Returns (t0, t1) entry/exit distances.
+
+    Reference: rayBoxIntersect, pathTracer.comp:97-108.  A hit exists iff
+    t0 <= t1 and t1 >= 0 (callers test `t0 > t1 || t1 < 0` to skip,
+    pathTracer.comp:162).
+    """
+    tbot = (bmin - origin) * inv_direction
+    ttop = (bmax - origin) * inv_direction
+    tmin = jnp.minimum(ttop, tbot)
+    tmax = jnp.maximum(ttop, tbot)
+    t0 = jnp.max(tmin, axis=-1)
+    t1 = jnp.min(tmax, axis=-1)
+    return t0, t1
+
+
+def ray_sphere(origin, direction, center, radius):
+    """Quadratic sphere test returning both roots (near, far).
+
+    Reference: raySphereIntersect, pathTracer.comp:110-119.  When the
+    discriminant is negative both roots are the sentinel -1.0 exactly as the
+    reference returns vec2(-1.0).  direction is assumed normalized (the
+    reference relies on this: no `a` coefficient).
+    """
+    oc = origin - center
+    b = jnp.sum(oc * direction, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - c
+    s = jnp.sqrt(jnp.maximum(disc, F32(0.0)))
+    near = -b - s
+    far = -b + s
+    miss = disc < F32(0.0)
+    sentinel = F32(-1.0)
+    return jnp.where(miss, sentinel, near), jnp.where(miss, sentinel, far)
+
+
+def ray_triangle(origin, direction, a, b, c):
+    """Möller-Trumbore-style test. Returns (t, u, v, hit_mask).
+
+    Reference: rayTriangleIntersect, pathTracer.comp:121-133.  The reference
+    returns t=-1 on miss and accepts hits with
+    ``t > 0 && u in [0,1] && v >= 0 && u+v <= 1`` — note it checks ``uv.x <= 1``
+    but never ``uv.y <= 1`` on its own (the u+v test covers it).  Degenerate
+    triangles divide by zero; IEEE inf/nan propagation then fails the
+    acceptance test, matching GPU behavior.
+    """
+    edge_ab = b - a
+    edge_ac = c - a
+    oa = origin - a
+    pvec = jnp.cross(direction, edge_ac)
+    inv_det = F32(1.0) / jnp.sum(edge_ab * pvec, axis=-1)
+    qvec = jnp.cross(oa, edge_ab)
+    u = jnp.sum(oa * pvec, axis=-1) * inv_det
+    v = jnp.sum(direction * (qvec * inv_det[..., None]), axis=-1)
+    t = jnp.sum(edge_ac * qvec, axis=-1) * inv_det
+    hit = (t > F32(0.0)) & (u >= F32(0.0)) & (u <= F32(1.0)) & (v >= F32(0.0)) & (u + v <= F32(1.0))
+    t = jnp.where(hit, t, F32(-1.0))
+    return t, u, v, hit
+
+
+def reflect(d, n):
+    """GLSL reflect: d - 2*dot(d,n)*n."""
+    return d - F32(2.0) * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def refract(d, n, eta):
+    """GLSL refract: returns the zero vector on total internal reflection.
+
+    k = 1 - eta^2 (1 - dot(n,d)^2); k < 0 -> vec3(0).
+    eta may be scalar or (...,) matching d's batch shape.
+    """
+    cos_i = jnp.sum(n * d, axis=-1, keepdims=True)
+    eta = jnp.asarray(eta, F32)
+    if eta.ndim and eta.shape[-1:] != (1,):
+        eta = eta[..., None]
+    k = F32(1.0) - eta * eta * (F32(1.0) - cos_i * cos_i)
+    tir = k < F32(0.0)
+    out = eta * d - (eta * cos_i + jnp.sqrt(jnp.maximum(k, F32(0.0)))) * n
+    return jnp.where(tir, F32(0.0), out), jnp.squeeze(tir, -1)
+
+
+def normalize(v, eps=None):
+    """GLSL normalize (no epsilon guard, matching the reference)."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    if eps is not None:
+        n = jnp.maximum(n, eps)
+    return v / n

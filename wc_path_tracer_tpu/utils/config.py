@@ -1,0 +1,69 @@
+"""Render configuration.
+
+The reference has no config system beyond hardcoded struct defaults and a
+reflection-driven property editor (reference: src/PathTracingRenderer.jai:119-120
+``samples=1, maxBounceCount=3``; src/ui_utils.jai:46-194 annotation-driven
+editing).  Here every editable knob is a field of a frozen dataclass so it can
+be a *static* jit argument: shapes (width/height/samples/bounces) must be
+known at trace time on TPU.
+
+Fields that change per-frame without recompilation (camera, material values,
+frame counter) live in the Scene / Camera pytrees instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (hashable -> usable as a jit static arg).
+
+    Defaults reproduce the reference's semantics exactly
+    (src/PathTracingRenderer.jai:119-120, src/shaders/pathTracer.comp).
+    """
+
+    width: int = 256
+    height: int = 256
+    samples: int = 1           # ref default: samples=1 (PathTracingRenderer.jai:119)
+    max_bounces: int = 3       # ref default: maxBounceCount=3 (:120). NOTE the ref
+    #                            bounce loop runs max_bounces+1 segments
+    #                            (pathTracer.comp:245 `i <= maxBounceCount`); we
+    #                            reproduce that: number of path segments = max_bounces+1.
+
+    # --- extensions beyond the reference (all off by default = ref semantics) ---
+    pixel_jitter: bool = False   # ref never jitters the primary ray (quirk 5,
+    #                              pathTracer.comp:309-310): AA only emerges across
+    #                              accumulated frames. True = stratified subpixel jitter.
+    use_nee: bool = False        # next-event estimation (not in ref; BASELINE north star)
+    use_rr: bool = False         # Russian roulette termination (not in ref)
+    rr_start_bounce: int = 3     # first bounce index eligible for RR termination
+    sky: str = "gradient"        # "gradient" = ref's vertical mix (pathTracer.comp:236-239),
+    #                              "black" = no environment light (Cornell-style)
+    tonemap: str = "none"        # one of ops.tonemap.TONEMAPS; ref computes raw linear HDR
+    #                              (tonemap calls commented out, pathTracer.comp:320-321)
+    gamma: float = 1.0           # output gamma (1.0 = ref's raw linear output)
+
+    # --- compat quirks (True = reproduce reference behavior bit-for-bit) ---
+    sphere_near_root_only: bool = True  # quirk 1: ref tests only the near root `.x`
+    #                                     of raySphereIntersect (pathTracer.comp:141-142),
+    #                                     so rays starting inside a sphere never hit it.
+    #                                     False = also accept the far root (correct glass).
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("width/height must be positive")
+        if self.samples <= 0:
+            raise ValueError("samples must be positive")
+        if self.max_bounces < 0:
+            raise ValueError("max_bounces must be >= 0")
+        if self.sky not in ("gradient", "black"):
+            raise ValueError(f"unknown sky model: {self.sky!r}")
+
+    @property
+    def num_rays(self) -> int:
+        return self.width * self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
