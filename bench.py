@@ -1,0 +1,128 @@
+"""Benchmark harness: Mrays/s/chip forward+backward on the 1024 Cornell config.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline compares
+against the first recorded measurement of this framework (stored in
+BASELINE.md's measured table); until one exists it is 1.0.
+
+Rays counted = path segments launched = W*H*samples*(max_bounces+1)
+(the reference dispatches every pixel-thread through every bounce segment;
+SURVEY §3.3).  fwd+bwd = value_and_grad of an L2 image loss w.r.t. material
+parameters, matching BASELINE.json's metric definition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="small CPU-friendly smoke config")
+    ap.add_argument("--size", type=int, default=None, help="image size override")
+    ap.add_argument("--samples", type=int, default=1)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--renderer", default="auto", choices=["auto", "golden", "wavefront"],
+                    help="render path to benchmark")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.models import builtin
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    from wc_path_tracer_tpu.utils.config import RenderConfig
+
+    size = args.size or (128 if args.small else 1024)
+    cfg = RenderConfig(width=size, height=size, samples=args.samples,
+                       max_bounces=args.bounces, sky="black")
+    scene, cam = builtin.cornell_box_scene()
+    mats = camera_matrices(cam, 1.0)
+
+    from wc_path_tracer_tpu.render import dispatch
+    render_frame = dispatch.get_render_frame(args.renderer, scene, cfg)
+
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    if args.forward_only:
+        @jax.jit
+        def step(scene, mats, frame):
+            return render_frame(scene, mats, cfg, frame)
+    else:
+        trainable = ("albedo", "emission", "emission_strength", "roughness")
+
+        def loss_fn(params, scene, mats, frame):
+            m = dataclasses.replace(scene.materials, **params)
+            s = dataclasses.replace(scene, materials=m)
+            img = render_frame(s, mats, cfg, frame)
+            return jnp.mean((img - target) ** 2)
+
+        @jax.jit
+        def step(scene, mats, frame):
+            params = {k: getattr(scene.materials, k) for k in trainable}
+            return jax.value_and_grad(loss_fn)(params, scene, mats, frame)
+
+    print(f"bench: {size}x{size}, samples={cfg.samples}, "
+          f"bounces={cfg.max_bounces}, renderer={args.renderer}, "
+          f"fwd_only={args.forward_only}, backend={jax.default_backend()}",
+          file=sys.stderr)
+
+    # compile
+    t0 = time.perf_counter()
+    out = step(scene, mats, jnp.uint32(0))
+    jax.block_until_ready(out)
+    print(f"bench: compile+first step {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = step(scene, mats, jnp.uint32(i + 1))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    segments = cfg.width * cfg.height * cfg.samples * (cfg.max_bounces + 1)
+    mrays = segments / dt / 1e6
+    mode = "fwd" if args.forward_only else "fwd+bwd"
+
+    # vs_baseline: ratio to the first recorded measurement in BASELINE.md
+    # (the reference publishes none). 1.0 when no prior record exists.
+    baseline = _read_recorded_baseline(mode, size)
+    vs = mrays / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": f"Mrays/s/chip {mode} ({size}^2 Cornell, {cfg.max_bounces} bounces)",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+def _read_recorded_baseline(mode: str, size: int):
+    """First recorded number for this config in BASELINE.md, if any."""
+    try:
+        with open("BASELINE.md") as f:
+            for line in f:
+                if line.startswith("<!-- bench-baseline"):
+                    # format: <!-- bench-baseline mode=fwd+bwd size=1024 value=NN -->
+                    parts = dict(p.split("=") for p in line.split()
+                                 if "=" in p)
+                    if parts.get("mode") == mode and int(parts.get("size", 0)) == size:
+                        return float(parts["value"].rstrip("->").rstrip())
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+if __name__ == "__main__":
+    main()

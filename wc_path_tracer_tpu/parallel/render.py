@@ -1,0 +1,131 @@
+"""Data-parallel rendering and training over a device mesh.
+
+Design (SURVEY §2.6, §7.1 step 5): rays are the data axis. The image's row
+dimension is sharded over ``dp``; the scene is replicated, so forward
+rendering needs *zero* communication — each device traces its pixel band
+fully locally (the path-tracing analog of sequence-parallel attention with a
+replicated KV).  The only collective in the whole system is the ``psum`` of
+scene-parameter gradients in the inverse-rendering step, the analog the
+BASELINE north star requires ("all-reduce scene-parameter gradients ...
+overlapped with the backward wavefront" — XLA schedules the psum concurrently
+with remaining backward work automatically once it's inside the same jit).
+
+Sharded renders are pixel-identical to single-device renders because pixel
+seeds come from *global* pixel indices (render/golden.py render_rows).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from wc_path_tracer_tpu.parallel.mesh import DP_AXIS
+from wc_path_tracer_tpu.render import golden
+from wc_path_tracer_tpu.utils.config import RenderConfig
+
+
+def _band(cfg: RenderConfig, n_dev: int) -> int:
+    if cfg.height % n_dev:
+        raise ValueError(
+            f"height {cfg.height} not divisible by mesh size {n_dev}; "
+            f"pad the image or choose a divisible height")
+    return cfg.height // n_dev
+
+
+def sharded_render_frame(mesh: Mesh, cfg: RenderConfig):
+    """Returns jitted (scene, mats, frame_count) -> (H, W, 3) image sharded
+    by rows over ``dp``."""
+    n_dev = mesh.devices.size
+    band = _band(cfg, n_dev)
+
+    def shard_body(scene, mats, frame_count):
+        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * jnp.uint32(band)
+        return golden.render_rows(scene, mats, cfg, frame_count, y0, band)
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(), P()),   # scene + camera replicated (prefix specs)
+        out_specs=P(DP_AXIS),       # image sharded by rows
+    )
+    return jax.jit(mapped)
+
+
+def render_image_sharded(scene, mats, cfg: RenderConfig, frame_count,
+                         mesh: Mesh):
+    """Convenience wrapper: build + call the sharded render."""
+    fn = sharded_render_frame(mesh, cfg)
+    return fn(scene, mats, jnp.asarray(frame_count, jnp.uint32))
+
+
+def _loss_rows(scene, mats, cfg, frame_count, y0, band, target_rows):
+    img = golden.render_rows(scene, mats, cfg, frame_count, y0, band)
+    # mean over *global* pixels: sum locally, divide by global count after psum
+    return jnp.sum((img - target_rows) ** 2)
+
+
+def sharded_render_loss_grad(mesh: Mesh, cfg: RenderConfig,
+                             trainable=("albedo", "emission",
+                                        "emission_strength", "roughness")):
+    """Returns jitted (scene, mats, frame_count, target) -> (loss, grads).
+
+    ``target`` is the (H, W, 3) reference image, sharded by rows like the
+    render.  Gradients w.r.t. the selected Materials fields are all-reduced
+    over ``dp`` with psum — the gradient-synchronization component the
+    BASELINE requires (the reference has no gradients at all, SURVEY §2.6).
+    """
+    n_dev = mesh.devices.size
+    band = _band(cfg, n_dev)
+    npix = cfg.height * cfg.width * 3
+
+    def shard_body(scene, mats, frame_count, target_rows):
+        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * jnp.uint32(band)
+
+        def local_loss(params):
+            import dataclasses
+            m = dataclasses.replace(scene.materials, **params)
+            s = dataclasses.replace(scene, materials=m)
+            return _loss_rows(s, mats, cfg, frame_count, y0, band, target_rows)
+
+        params = {k: getattr(scene.materials, k) for k in trainable}
+        local, grads = jax.value_and_grad(local_loss)(params)
+        # The gradient all-reduce over dp happens *inside* value_and_grad:
+        # params are replicated (unvarying) while the loss is per-shard
+        # (varying), and shard_map's typed autodiff transposes that broadcast
+        # into a psum over ICI/DCN — exactly the "all-reduce overlapped with
+        # backward" the BASELINE requires, scheduled by XLA inside this jit.
+        # grads here are therefore already the full-image gradients.
+        loss = jax.lax.psum(local, DP_AXIS) / npix
+        return loss, grads
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(DP_AXIS)),  # target sharded by rows
+        out_specs=(P(), P()),                  # loss + grads replicated (post-psum)
+    )
+    return jax.jit(mapped)
+
+
+def make_train_step(mesh: Mesh, cfg: RenderConfig, optimizer,
+                    trainable=("albedo", "emission", "emission_strength",
+                               "roughness")):
+    """Full inverse-rendering train step over the mesh: render shards,
+    backward, psum grads, optimizer update (replicated). Returns
+    jitted (scene, opt_state, mats, frame_count, target) ->
+    (scene, opt_state, loss).
+    """
+    import dataclasses
+    loss_grad = sharded_render_loss_grad(mesh, cfg, trainable)
+
+    @jax.jit
+    def step(scene, opt_state, mats, frame_count, target):
+        loss, grads = loss_grad(scene, mats, frame_count, target)
+        params = {k: getattr(scene.materials, k) for k in trainable}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        scene = dataclasses.replace(
+            scene, materials=dataclasses.replace(scene.materials, **params))
+        return scene, opt_state, loss
+
+    return step

@@ -128,25 +128,30 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     t_best = jnp.where(use_tri, t_tr, t_s)
     hit = t_best < KINF
 
-    p = origin + t_best[:, None] * direction
+    # Sanitize non-hit / padded lanes to finite values: their results are
+    # masked out downstream, but inf/NaN in an unselected jnp.where branch
+    # still poisons reverse-mode gradients (0 * inf = NaN in the transpose).
+    t_safe = jnp.where(hit, t_best, F32(1.0))
+    p = origin + t_safe[:, None] * direction
 
     sph_center = sph.position[sph_idx]
     sph_radius = sph.radius[sph_idx]
-    n_sph = (p - sph_center) / sph_radius[:, None]           # pathTracer.comp:145
+    safe_radius = jnp.where(sph_radius > F32(0.0), sph_radius, F32(1.0))
+    n_sph = (p - sph_center) / safe_radius[:, None]          # pathTracer.comp:145
 
     e1 = b[tri_idx] - a[tri_idx]
     e2 = c[tri_idx] - a[tri_idx]
-    n_tri = ix.normalize(jnp.cross(e1, e2))                  # flat normal, :173
+    n_tri = ix.normalize(jnp.cross(e1, e2), eps=F32(1e-20))  # flat normal, :173
 
     normal = jnp.where(use_tri[:, None], n_tri, n_sph)
     material = jnp.where(use_tri, mesh.tri_material[tri_idx], sph.material[sph_idx])
 
     front = jnp.sum(direction * normal, axis=-1) < F32(0.0)  # :206
     normal = jnp.where(front[:, None], normal, -normal)      # :207
+    normal = jnp.where(hit[:, None], normal,
+                       jnp.array([0.0, 0.0, 1.0], F32))
 
-    # Keep padded-lane values benign.
-    t_best = jnp.where(hit, t_best, KINF)
-    return HitRecord(t=t_best, p=p, normal=normal, hit=hit, front=front,
+    return HitRecord(t=t_safe, p=p, normal=normal, hit=hit, front=front,
                      material=material.astype(jnp.int32))
 
 
@@ -161,9 +166,12 @@ def _fresnel_reflectance(in_dir, normal, ior_a, ior_b):
     denom_perp = ior_a * cos_in + ior_b * cos_refr
     denom_par = ior_b * cos_in + ior_a * cos_refr
     degenerate = jnp.minimum(denom_perp, denom_par) < F32(1e-8)
-    r_perp = (ior_a * cos_in - ior_b * cos_refr) / denom_perp
+    # guard the (masked-out) degenerate division so reverse-mode stays finite
+    safe_perp = jnp.where(jnp.abs(denom_perp) < F32(1e-8), F32(1.0), denom_perp)
+    safe_par = jnp.where(jnp.abs(denom_par) < F32(1e-8), F32(1.0), denom_par)
+    r_perp = (ior_a * cos_in - ior_b * cos_refr) / safe_perp
     r_perp = r_perp * r_perp
-    r_par = (ior_b * cos_in - ior_a * cos_refr) / denom_par
+    r_par = (ior_b * cos_in - ior_a * cos_refr) / safe_par
     r_par = r_par * r_par
     refl = (r_perp + r_par) * F32(0.5)
     return jnp.where(tir | degenerate, F32(1.0), refl)
@@ -201,10 +209,15 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
     Returns (radiance (R, 3), new_seed) — the seed is carried across samples
     exactly like the reference's inout rngState.
     """
-    R = origin.shape[0]
-    total = jnp.zeros((R, 3), F32)
-    trans = jnp.ones((R, 3), F32)
-    alive = jnp.ones((R,), bool)
+    # Derive initial carries from the (possibly device-varying) inputs so the
+    # scan carry has a consistent varying-manual-axes type under shard_map.
+    # (origin is broadcast from the replicated camera position; tie it to the
+    # varying ray directions so its vma type matches the scan body output.)
+    origin = origin + direction * F32(0.0)
+    zeros = origin * F32(0.0)
+    total = zeros
+    trans = zeros + F32(1.0)
+    alive = zeros[:, 0] == F32(0.0)  # all True, varying like origin
 
     def bounce(carry, _):
         o, d, total, trans, seed, alive = carry
@@ -287,6 +300,66 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
     return total, seed
 
 
+def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
+                frame_count, y0, num_rows: int) -> jax.Array:
+    """Render a horizontal band of ``num_rows`` rows starting at traced row
+    offset ``y0`` -> (num_rows, W, 3).
+
+    This is the shardable unit: the data-parallel path (parallel/render.py)
+    gives each device a band; pixel seeds use *global* pixel indices
+    (pathTracer.comp:304) so an N-way sharded render is pixel-identical to
+    the single-device render of the same frame.
+    """
+    H, W = cfg.height, cfg.width
+    frame_count = jnp.asarray(frame_count, jnp.uint32)
+    y0 = jnp.asarray(y0, jnp.uint32)
+
+    xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
+    ys = y0 + jnp.arange(num_rows, dtype=jnp.uint32)[:, None]
+    pixel_index = (xs + ys * jnp.uint32(W)).reshape(-1)
+    seed = rng.pixel_seed(pixel_index, frame_count)
+
+    origin = jnp.broadcast_to(mats.position, (num_rows * W, 3))
+    # tie to the per-shard seed so the origin (and scan carries derived from
+    # it) carry the same varying-manual-axes type as the body outputs when
+    # this runs inside shard_map
+    origin = origin + (seed.astype(F32) * F32(0.0))[:, None]
+
+    def band_directions(jitter=None):
+        # full-frame directions are cheap; slice the band with a dynamic
+        # row offset (keeps the camera math identical to the reference's
+        # full-image NDC mapping).
+        dirs = primary_ray_directions(mats, W, H, jitter=jitter)
+        return jax.lax.dynamic_slice_in_dim(
+            dirs, y0.astype(jnp.int32), num_rows, axis=0).reshape(-1, 3)
+
+    if cfg.pixel_jitter:
+        # extension: uniform subpixel jitter; draws 2 per sample per pixel
+        def sample_body(carry, _):
+            seed, acc = carry
+            jx, seed = rng.rand(seed)
+            jy, seed = rng.rand(seed)
+            jit_full = jnp.zeros((H, W, 2), F32)
+            jit_band = jnp.stack([jx, jy], -1).reshape(num_rows, W, 2)
+            jit_full = jax.lax.dynamic_update_slice_in_dim(
+                jit_full, jit_band, y0.astype(jnp.int32), axis=0)
+            dirs = band_directions(jit_full)
+            light, seed = trace_rays(scene, origin, dirs, seed, cfg)
+            return (seed, acc + light), None
+    else:
+        dirs_const = band_directions()
+
+        def sample_body(carry, _):
+            seed, acc = carry
+            light, seed = trace_rays(scene, origin, dirs_const, seed, cfg)
+            return (seed, acc + light), None
+
+    (seed, acc), _ = jax.lax.scan(
+        sample_body, (seed, origin * F32(0.0)), None, length=cfg.samples)
+    result = acc / F32(cfg.samples)
+    return result.reshape(num_rows, W, 3)
+
+
 def render_frame(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
                  frame_count) -> jax.Array:
     """One progressive frame: (H, W, 3) average of cfg.samples paths per pixel.
@@ -294,42 +367,7 @@ def render_frame(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
     Mirrors main() (pathTracer.comp:289-312): pixel-center rays, per-pixel
     seed ``pcg_hash(x + y*W + frame*719393)``, samples-loop carrying the seed.
     """
-    H, W = cfg.height, cfg.width
-    frame_count = jnp.asarray(frame_count, jnp.uint32)
-
-    xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
-    ys = jnp.arange(H, dtype=jnp.uint32)[:, None]
-    pixel_index = (xs + ys * jnp.uint32(W)).reshape(-1)
-    seed = rng.pixel_seed(pixel_index, frame_count)
-
-    origin = jnp.broadcast_to(mats.position, (H * W, 3))
-
-    if cfg.pixel_jitter:
-        # extension: stratified-free uniform jitter; draws 2 per sample
-        def sample_body(carry, _):
-            seed, acc = carry
-            jx, seed = rng.rand(seed)
-            jy, seed = rng.rand(seed)
-            jit = jnp.stack([jx, jy], -1).reshape(H, W, 2)
-            dirs = primary_ray_directions(mats, W, H, jitter=jit).reshape(-1, 3)
-            light, seed = trace_rays(scene, origin, dirs, seed, cfg)
-            return (seed, acc + light), None
-        (seed, acc), _ = jax.lax.scan(
-            sample_body, (seed, jnp.zeros((H * W, 3), F32)), None,
-            length=cfg.samples)
-    else:
-        dirs = primary_ray_directions(mats, W, H).reshape(-1, 3)
-
-        def sample_body(carry, _):
-            seed, acc = carry
-            light, seed = trace_rays(scene, origin, dirs, seed, cfg)
-            return (seed, acc + light), None
-        (seed, acc), _ = jax.lax.scan(
-            sample_body, (seed, jnp.zeros((H * W, 3), F32)), None,
-            length=cfg.samples)
-
-    result = acc / F32(cfg.samples)
-    return result.reshape(H, W, 3)
+    return render_rows(scene, mats, cfg, frame_count, 0, cfg.height)
 
 
 def accumulate(old_image, new_frame, frame_count):
