@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--renderer", default="auto", choices=["auto", "golden", "wavefront"],
                     help="render path to benchmark")
+    ap.add_argument("--scene", default="cornell",
+                    choices=["cornell", "bunny", "default", "triangle"],
+                    help="benchmark scene (BASELINE config ladder)")
+    ap.add_argument("--subdiv", type=int, default=5,
+                    help="bunny mesh subdivision level (20*4^n tris)")
     args = ap.parse_args()
 
     import jax
@@ -43,9 +48,21 @@ def main():
     from wc_path_tracer_tpu.utils.config import RenderConfig
 
     size = args.size or (128 if args.small else 1024)
+    if args.scene == "cornell":
+        scene, cam = builtin.cornell_box_scene()
+        sky = "black"
+    elif args.scene == "bunny":
+        from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+        scene, cam = bunny_like_scene(args.subdiv)
+        sky = "gradient"
+    elif args.scene == "triangle":
+        scene, cam = builtin.single_triangle_scene()
+        sky = "black"
+    else:
+        scene, cam = builtin.default_scene(), builtin.default_camera()
+        sky = "gradient"
     cfg = RenderConfig(width=size, height=size, samples=args.samples,
-                       max_bounces=args.bounces, sky="black")
-    scene, cam = builtin.cornell_box_scene()
+                       max_bounces=args.bounces, sky=sky)
     mats = camera_matrices(cam, 1.0)
 
     from wc_path_tracer_tpu.render import dispatch
@@ -97,27 +114,29 @@ def main():
 
     # vs_baseline: ratio to the first recorded measurement in BASELINE.md
     # (the reference publishes none). 1.0 when no prior record exists.
-    baseline = _read_recorded_baseline(mode, size)
+    baseline = _read_recorded_baseline(mode, size, args.scene)
     vs = mrays / baseline if baseline else 1.0
 
     print(json.dumps({
-        "metric": f"Mrays/s/chip {mode} ({size}^2 Cornell, {cfg.max_bounces} bounces)",
+        "metric": f"Mrays/s/chip {mode} ({size}^2 {args.scene}, {cfg.max_bounces} bounces)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
     }))
 
 
-def _read_recorded_baseline(mode: str, size: int):
+def _read_recorded_baseline(mode: str, size: int, scene: str = "cornell"):
     """First recorded number for this config in BASELINE.md, if any."""
     try:
         with open("BASELINE.md") as f:
             for line in f:
                 if line.startswith("<!-- bench-baseline"):
-                    # format: <!-- bench-baseline mode=fwd+bwd size=1024 value=NN -->
+                    # format: <!-- bench-baseline mode=fwd+bwd size=1024 scene=cornell value=NN -->
                     parts = dict(p.split("=") for p in line.split()
                                  if "=" in p)
-                    if parts.get("mode") == mode and int(parts.get("size", 0)) == size:
+                    if (parts.get("mode") == mode
+                            and int(parts.get("size", 0)) == size
+                            and parts.get("scene", "cornell") == scene):
                         return float(parts["value"].rstrip("->").rstrip())
     except (OSError, ValueError):
         pass

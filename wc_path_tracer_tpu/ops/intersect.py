@@ -18,9 +18,10 @@ golden renderer (render/golden.py) and the autodiff path.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 F32 = jnp.float32
-KINFINITY = jnp.float32(3.402823466e38)  # constants.glsl kInfinity
+KINFINITY = np.float32(3.402823466e38)  # constants.glsl kInfinity
 
 
 def ray_box(origin, inv_direction, bmin, bmax):

@@ -29,16 +29,17 @@ sequences are reproduced with masked vectorized draws.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # LCG / permutation constants, Random.glsl:12-14.
-_PCG_MULT = jnp.uint32(747796405)
-_PCG_INC = jnp.uint32(2891336453)
-_PCG_XSH_MULT = jnp.uint32(277803737)
+_PCG_MULT = np.uint32(747796405)
+_PCG_INC = np.uint32(2891336453)
+_PCG_XSH_MULT = np.uint32(277803737)
 
 # uintBitsToFloat(0x2f800000u) == 2**-32 (Random.glsl:31).
-_INV_2_32 = jnp.float32(2.0 ** -32)
+_INV_2_32 = np.float32(2.0 ** -32)
 
-_PI = jnp.float32(3.14159265358979323846)  # constants.glsl PI
+_PI = np.float32(3.14159265358979323846)  # constants.glsl PI
 
 
 def _permute(state):

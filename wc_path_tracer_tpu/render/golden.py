@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from wc_path_tracer_tpu.ops import intersect as ix
 from wc_path_tracer_tpu.ops import rng
@@ -48,7 +49,7 @@ from wc_path_tracer_tpu.scene.types import (
 from wc_path_tracer_tpu.utils.config import RenderConfig
 
 F32 = jnp.float32
-BIAS = jnp.float32(1e-5)          # constants.glsl bias
+BIAS = np.float32(1e-5)           # constants.glsl bias
 KINF = ix.KINFINITY
 
 
@@ -187,6 +188,110 @@ def sky_color(direction, cfg: RenderConfig):
     return blue * (F32(1.0) - a) + a
 
 
+def _luminance(rgb):
+    return (F32(0.2126) * rgb[..., 0] + F32(0.7152) * rgb[..., 1]
+            + F32(0.0722) * rgb[..., 2])
+
+
+def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
+                        intersect_fn, cfg: RenderConfig):
+    """Next-event estimation: one area-sampled light connection per lane.
+
+    Extension (not in the reference — SURVEY §2.4(8): no NEE); required by
+    BASELINE config (b).  Light set = every live emissive sphere + triangle,
+    importance-sampled by (area x luminance).  Returns
+    (direct_radiance_without_brdf_or_throughput (R,3), cos_surf (R,), seed):
+    the caller multiplies by BRDF * throughput.
+
+    Draw order per lane (when ``mask``): 1 light pick + 2 point draws — all
+    masked so disabled/absent lanes leave their PCG stream untouched.
+    """
+    sph = scene.spheres
+    mesh = scene.mesh
+    mats = scene.materials
+    R = rec.p.shape[0]
+
+    # --- per-primitive light weights: area * luminance(emission) ---
+    s_live = jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count
+    s_lum = _luminance(mats.emission[sph.material]) * mats.emission_strength[sph.material]
+    s_area = F32(4.0) * jnp.pi * sph.radius * sph.radius
+    s_w = jnp.where(s_live & (s_lum > F32(0.0)), s_area * s_lum, F32(0.0))
+
+    tri = mesh.indices.reshape(-1, 3)
+    a = mesh.vertices[tri[:, 0]]
+    b = mesh.vertices[tri[:, 1]]
+    c = mesh.vertices[tri[:, 2]]
+    t_lum = _luminance(mats.emission[mesh.tri_material]) * \
+        mats.emission_strength[mesh.tri_material]
+    t_area = F32(0.5) * jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
+    t_live = _live_triangle_mask(scene)
+    t_w = jnp.where(t_live & (t_lum > F32(0.0)), t_area * t_lum, F32(0.0))
+
+    weights = jnp.concatenate([s_w, t_w])            # (S+T,)
+    cum = jnp.cumsum(weights)
+    total_w = cum[-1]
+    has_lights = total_w > F32(0.0)
+
+    # --- pick a light (1 draw) + a point on it (2 draws) ---
+    u_pick, seed = rng.rand_masked(seed, mask)
+    u1, seed = rng.rand_masked(seed, mask)
+    u2, seed = rng.rand_masked(seed, mask)
+
+    pick = jnp.searchsorted(cum, u_pick * total_w, side="right")
+    pick = jnp.clip(pick, 0, weights.shape[0] - 1)
+    is_sphere_light = pick < sph.capacity
+    s_idx = jnp.clip(pick, 0, sph.capacity - 1)
+    t_idx = jnp.clip(pick - sph.capacity, 0, tri.shape[0] - 1)
+
+    # sphere: uniform point on the surface
+    z = F32(1.0) - F32(2.0) * u1
+    r_xy = jnp.sqrt(jnp.maximum(F32(1.0) - z * z, F32(0.0)))
+    phi = F32(2.0) * jnp.pi * u2
+    n_sph = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], -1)
+    p_sph = sph.position[s_idx] + sph.radius[s_idx][:, None] * n_sph
+
+    # triangle: uniform barycentric via sqrt trick
+    su = jnp.sqrt(jnp.clip(u1, F32(1e-12), F32(1.0)))
+    b0 = F32(1.0) - su
+    b1 = u2 * su
+    ta, tb, tc = a[t_idx], b[t_idx], c[t_idx]
+    p_tri = ta * b0[:, None] + tb * b1[:, None] + tc * (F32(1.0) - b0 - b1)[:, None]
+    n_tri = ix.normalize(jnp.cross(tb - ta, tc - ta), eps=F32(1e-20))
+
+    p_light = jnp.where(is_sphere_light[:, None], p_sph, p_tri)
+    n_light = jnp.where(is_sphere_light[:, None], n_sph, n_tri)
+    light_mat = jnp.where(is_sphere_light, sph.material[s_idx],
+                          mesh.tri_material[t_idx])
+    L_e = mats.emission[light_mat] * mats.emission_strength[light_mat][:, None]
+
+    # --- geometric term + shadow ray ---
+    to_light = p_light - rec.p
+    dist = jnp.linalg.norm(to_light, axis=-1)
+    safe_dist = jnp.maximum(dist, F32(1e-6))
+    wi = to_light / safe_dist[:, None]
+    cos_surf = jnp.sum(rec.normal * wi, axis=-1)
+    cos_light_raw = jnp.sum(n_light * (-wi), axis=-1)
+    # triangles emit double-sided (the tracer flips normals toward the ray);
+    # spheres emit outward only (interiors unreachable, quirk §2.4(1))
+    cos_light = jnp.where(is_sphere_light, cos_light_raw,
+                          jnp.abs(cos_light_raw))
+
+    shadow_o = rec.p + rec.normal * BIAS
+    shadow = intersect_fn(scene, shadow_o, wi, cfg)
+    visible = (~shadow.hit) | (shadow.t >= dist - F32(1e-3) * safe_dist)
+
+    # pdf_area = (w_pick / total) / area_pick = lum_pick / total
+    lum_pick = jnp.where(is_sphere_light, s_lum[s_idx], t_lum[t_idx])
+    pdf_a = jnp.maximum(lum_pick / jnp.maximum(total_w, F32(1e-20)), F32(1e-20))
+
+    G = jnp.clip(cos_surf, 0.0, None) * jnp.clip(cos_light, 0.0, None) \
+        / (safe_dist * safe_dist)
+    contrib = L_e * (G / pdf_a)[:, None]
+    ok = mask & has_lights & visible & (cos_surf > F32(0.0)) \
+        & (cos_light > F32(0.0)) & (lum_pick > F32(0.0))
+    return jnp.where(ok[:, None], contrib, F32(0.0)), seed
+
+
 def _gather_material(materials, mid):
     """Per-ray material fields (the reference reads mbp.materials[id], :251)."""
     return dict(
@@ -202,13 +307,23 @@ def _gather_material(materials, mid):
     )
 
 
-def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
+def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
+               intersect_fn=None):
     """TraceRay (pathTracer.comp:241-284) vectorized over a ray batch.
 
     origin/direction: (R, 3); seed: (R,) uint32.
     Returns (radiance (R, 3), new_seed) — the seed is carried across samples
     exactly like the reference's inout rngState.
+
+    ``intersect_fn(scene, o, d, cfg) -> HitRecord`` selects the closest-hit
+    backend: brute force (default, this module) or BVH traversal
+    (render/wavefront.py).  Both satisfy the same selection semantics, so the
+    transport code here is the single source of truth for shading.
     """
+    if intersect_fn is None:
+        intersect_fn = intersect_scene_brute
+    from wc_path_tracer_tpu.ops import bsdf
+
     # Derive initial carries from the (possibly device-varying) inputs so the
     # scan carry has a consistent varying-manual-axes type under shard_map.
     # (origin is broadcast from the replicated camera position; tie it to the
@@ -218,10 +333,12 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
     total = zeros
     trans = zeros + F32(1.0)
     alive = zeros[:, 0] == F32(0.0)  # all True, varying like origin
+    prev_nee = zeros[:, 0] != F32(0.0)  # all False
+    bounce_idx0 = jnp.int32(0)
 
     def bounce(carry, _):
-        o, d, total, trans, seed, alive = carry
-        rec = intersect_scene_brute(scene, o, d, cfg)
+        o, d, total, trans, seed, alive, prev_nee, bounce_idx = carry
+        rec = intersect_fn(scene, o, d, cfg)
 
         # miss -> sky * transmittance, path ends (pathTracer.comp:248-249)
         miss = alive & ~rec.hit
@@ -230,16 +347,32 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
 
         m = _gather_material(scene.materials, rec.material)
 
-        # emission (:253)
-        total = total + jnp.where(
-            live[:, None],
-            m["emission"] * m["emission_strength"][:, None] * trans,
-            F32(0.0))
-
         is_dielectric = m["mtype"] == MATERIAL_DIELECTRIC
         is_metal = m["mtype"] == MATERIAL_METAL
         is_lambert = m["mtype"] == MATERIAL_LAMBERTIAN
         is_ggx = m["mtype"] == MATERIAL_GGX
+
+        # emission (:253). Under NEE, lanes whose previous bounce already
+        # accounted for direct light via a light-sample connection skip the
+        # BSDF-path emission hit (avoids double counting).
+        emit = live & ~prev_nee if cfg.use_nee else live
+        total = total + jnp.where(
+            emit[:, None],
+            m["emission"] * m["emission_strength"][:, None] * trans,
+            F32(0.0))
+
+        # --- NEE (extension): direct-light connection for Lambertian lanes;
+        # 3 masked draws ---
+        if cfg.use_nee:
+            nee_mask = live & is_lambert
+            direct, seed = sample_direct_light(scene, rec, seed, nee_mask,
+                                               intersect_fn, cfg)
+            total = total + jnp.where(
+                nee_mask[:, None],
+                direct * bsdf.lambert_brdf_over_pi(m["albedo"]) * trans,
+                F32(0.0))
+        else:
+            nee_mask = None
 
         # --- dielectric pre-draw (:268-273). The short-circuit `||` skips the
         # rand draw under TIR; mask accordingly so streams stay bit-exact.
@@ -249,21 +382,26 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
         refr, tir = ix.refract(d, rec.normal, eta_i / eta_t)
         u_refl, seed = rng.rand_masked(seed, live & is_dielectric & ~tir)
 
+        # --- GGX slot (extension): 2 masked draws for the half-vector ---
+        u_g1, seed = rng.rand_masked(seed, live & is_ggx)
+        u_g2, seed = rng.rand_masked(seed, live & is_ggx)
+
         # --- shared 6-draw RandomDirection (metal :258, dielectric :275,
-        # lambert extension). Draw for every live lane.
-        rdir, seed = rng.random_direction(seed, live)
+        # lambert extension). Drawn for every live non-GGX lane, preserving
+        # the reference's per-thread stream for METAL/DIELECTRIC scenes.
+        rdir, seed = rng.random_direction(seed, live & ~is_ggx)
 
         refl = ix.reflect(d, rec.normal)
         rough = m["roughness"][:, None]
 
         # METAL (:256-262)
-        d_metal = ix.normalize(refl + rough * rdir)
+        d_metal = ix.normalize(refl + rough * rdir, eps=F32(1e-20))
         o_metal = rec.p + rec.normal * BIAS
 
         # DIELECTRIC (:263-280)
         follow_reflect = tir | (u_refl <= reflect_prob)
         base = jnp.where(follow_reflect[:, None], refl, refr)
-        d_diel = ix.normalize(base + rough * rdir)
+        d_diel = ix.normalize(base + rough * rdir, eps=F32(1e-20))
         absorb = (~follow_reflect) & (~rec.front)
         beer = jnp.exp(-m["absorption"] * m["absorption_strength"][:, None]
                        * rec.t[:, None])
@@ -277,31 +415,55 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig):
         d_lam = jnp.where(lam_len < F32(1e-6), rec.normal, d_lam / jnp.maximum(lam_len, F32(1e-6)))
         o_lam = rec.p + rec.normal * BIAS
 
-        # GGX extension currently scatters like rough metal (proper VNDF
-        # sampling lands with the NEE/MIS pass in render/shading.py).
-        new_d = jnp.where(is_dielectric[:, None], d_diel,
-                          jnp.where(is_lambert[:, None], d_lam, d_metal))
-        new_o = jnp.where(is_dielectric[:, None], o_diel,
-                          jnp.where(is_lambert[:, None], o_lam, o_metal))
+        # GGX extension: microfacet conductor lobe (ops/bsdf.py)
+        d_ggx, w_ggx, ggx_valid = bsdf.ggx_sample(
+            rec.normal, -d, m["albedo"], m["roughness"], m["metallic"],
+            u_g1, u_g2)
+        d_ggx = ix.normalize(d_ggx, eps=F32(1e-20))
+        o_ggx = rec.p + rec.normal * BIAS
 
-        tput = jnp.where((is_metal | is_ggx | is_lambert)[:, None],
+        new_d = jnp.where(is_dielectric[:, None], d_diel,
+                          jnp.where(is_lambert[:, None], d_lam,
+                                    jnp.where(is_ggx[:, None], d_ggx, d_metal)))
+        new_o = jnp.where(is_dielectric[:, None], o_diel,
+                          jnp.where((is_lambert | is_ggx)[:, None], o_lam,
+                                    o_metal))
+
+        tput = jnp.where((is_metal | is_lambert)[:, None],
                          m["albedo"],
-                         jnp.where(absorb[:, None], beer, F32(1.0)))
+                         jnp.where(is_ggx[:, None], w_ggx,
+                                   jnp.where(absorb[:, None], beer, F32(1.0))))
         trans = jnp.where(live[:, None], trans * tput, trans)
+        # GGX samples that dipped under the surface carry zero weight; kill
+        live = live & jnp.where(is_ggx, ggx_valid, True)
+
+        # --- Russian roulette (extension): 1 masked draw per eligible lane ---
+        if cfg.use_rr:
+            rr_mask = live & (bounce_idx >= cfg.rr_start_bounce)
+            p_survive = jnp.clip(jnp.max(trans, axis=-1), F32(0.05), F32(1.0))
+            u_rr, seed = rng.rand_masked(seed, rr_mask)
+            killed = rr_mask & (u_rr > p_survive)
+            live = live & ~killed
+            keep = rr_mask & ~killed
+            trans = jnp.where(keep[:, None], trans / p_survive[:, None], trans)
+
+        prev_nee = (nee_mask & live) if cfg.use_nee else prev_nee
 
         o = jnp.where(live[:, None], new_o, o)
         d = jnp.where(live[:, None], new_d, d)
-        return (o, d, total, trans, seed, live), None
+        return (o, d, total, trans, seed, live, prev_nee,
+                bounce_idx + jnp.int32(1)), None
 
     # `i <= maxBounceCount` -> max_bounces + 1 segments (pathTracer.comp:245)
-    (o, d, total, trans, seed, alive), _ = jax.lax.scan(
-        bounce, (origin, direction, total, trans, seed, alive),
+    (o, d, total, trans, seed, alive, prev_nee, _), _ = jax.lax.scan(
+        bounce, (origin, direction, total, trans, seed, alive, prev_nee,
+                 bounce_idx0),
         None, length=cfg.max_bounces + 1)
     return total, seed
 
 
 def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
-                frame_count, y0, num_rows: int) -> jax.Array:
+                frame_count, y0, num_rows: int, intersect_fn=None) -> jax.Array:
     """Render a horizontal band of ``num_rows`` rows starting at traced row
     offset ``y0`` -> (num_rows, W, 3).
 
@@ -344,14 +506,16 @@ def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
             jit_full = jax.lax.dynamic_update_slice_in_dim(
                 jit_full, jit_band, y0.astype(jnp.int32), axis=0)
             dirs = band_directions(jit_full)
-            light, seed = trace_rays(scene, origin, dirs, seed, cfg)
+            light, seed = trace_rays(scene, origin, dirs, seed, cfg,
+                                     intersect_fn)
             return (seed, acc + light), None
     else:
         dirs_const = band_directions()
 
         def sample_body(carry, _):
             seed, acc = carry
-            light, seed = trace_rays(scene, origin, dirs_const, seed, cfg)
+            light, seed = trace_rays(scene, origin, dirs_const, seed, cfg,
+                                     intersect_fn)
             return (seed, acc + light), None
 
     (seed, acc), _ = jax.lax.scan(
@@ -361,13 +525,14 @@ def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
 
 
 def render_frame(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
-                 frame_count) -> jax.Array:
+                 frame_count, intersect_fn=None) -> jax.Array:
     """One progressive frame: (H, W, 3) average of cfg.samples paths per pixel.
 
     Mirrors main() (pathTracer.comp:289-312): pixel-center rays, per-pixel
     seed ``pcg_hash(x + y*W + frame*719393)``, samples-loop carrying the seed.
     """
-    return render_rows(scene, mats, cfg, frame_count, 0, cfg.height)
+    return render_rows(scene, mats, cfg, frame_count, 0, cfg.height,
+                       intersect_fn)
 
 
 def accumulate(old_image, new_frame, frame_count):

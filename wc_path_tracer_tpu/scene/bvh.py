@@ -64,7 +64,18 @@ class BVH:
 
 def build_bvh(vertices: np.ndarray, indices: np.ndarray,
               leaf_index_count: int = LEAF_INDEX_COUNT,
-              max_depth: int = MAX_DEPTH) -> BVH:
+              max_depth: int = MAX_DEPTH, robust: bool = False) -> BVH:
+    """Build the BVH.
+
+    ``robust=False`` reproduces the reference builder exactly, including its
+    degenerate-partition bailout (a leaf may then hold arbitrarily many
+    triangles).  ``robust=True`` is the mode the vectorized TPU traversal
+    requires: when the midpoint partition degenerates, fall back to a median
+    split (sorted by centroid), guaranteeing every leaf holds at most
+    ``leaf_index_count`` indices (2 triangles) so leaf processing can be a
+    static unroll.  Identical traversal results either way — only tree shape
+    differs.
+    """
     vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
     indices = np.asarray(indices, np.int64).reshape(-1).copy()
     if len(indices) % 3:
@@ -123,7 +134,15 @@ def build_bvh(vertices: np.ndarray, indices: np.ndarray,
         left_mask = cent < split
         left_count = int(left_mask.sum()) * 3
         if left_count == 0 or left_count == count:
-            continue
+            if not robust:
+                continue  # reference bailout (:193): node stays a big leaf
+            # robust fallback: median split by centroid (stable) — always
+            # yields two non-empty halves for count > 3
+            order_all = np.argsort(cent, kind="stable")
+            half = len(order_all) // 2
+            left_mask = np.zeros(len(order_all), bool)
+            left_mask[order_all[:half]] = True
+            left_count = half * 3
         order = np.concatenate([np.where(left_mask)[0], np.where(~left_mask)[0]])
         indices[first:first + count] = tri_idx[order].reshape(-1)
         t0 = first // 3

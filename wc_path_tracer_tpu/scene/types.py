@@ -146,6 +146,11 @@ class MeshBank:
     draw_node_offset: jax.Array    # (D,) int32
     draw_index_count: jax.Array    # (D,) int32
     draw_count: jax.Array          # () int32
+    # static metadata (part of the jit cache key, not a traced leaf): the
+    # largest leaf size in any BVH of this bank, so traversal kernels can
+    # statically unroll leaf triangle tests.
+    max_leaf_tris: int = dataclasses.field(
+        metadata=dict(static=True), default=2)
 
     @property
     def vertex_capacity(self) -> int:
@@ -186,6 +191,7 @@ class MeshBank:
             draw_node_offset=jnp.zeros(draw_capacity, I32),
             draw_index_count=jnp.zeros(draw_capacity, I32),
             draw_count=jnp.asarray(0, I32),
+            max_leaf_tris=1,
         )
 
 
@@ -250,13 +256,18 @@ class SceneBuilder:
         return len(self.spheres) - 1
 
     def add_mesh(self, vertices, indices, normals=None, uvs=None,
-                 tri_material=0, bvh=None) -> int:
-        """Add a triangle mesh. ``bvh`` is a scene.bvh.BVH (built if None)."""
+                 tri_material=0, bvh=None, robust_bvh=True) -> int:
+        """Add a triangle mesh. ``bvh`` is a scene.bvh.BVH (built if None).
+
+        ``robust_bvh=True`` (default) bounds leaves at 2 triangles so the
+        vectorized traversal can statically unroll leaf tests; pass False for
+        the reference builder's exact tree shape (brute-force path only).
+        """
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         indices = np.asarray(indices, np.int32).reshape(-1)
         if bvh is None:
             from wc_path_tracer_tpu.scene.bvh import build_bvh
-            bvh = build_bvh(vertices, indices)
+            bvh = build_bvh(vertices, indices, robust=robust_bvh)
         tri_material = np.broadcast_to(
             np.asarray(tri_material, np.int32), (len(indices) // 3,)).copy()
         self.meshes.append(dict(
@@ -375,6 +386,7 @@ class SceneBuilder:
             dvo[d], dio[d], dno[d], dic[d] = vo, io, no, I
             vo, io, no = vo + V, io + I, no + N
 
+        max_leaf = max(1, int(np.max(node_count)) // 3 + (int(np.max(node_count)) % 3 > 0))
         return MeshBank(
             vertices=jnp.asarray(verts), normals=jnp.asarray(norms),
             uvs=jnp.asarray(uvs), indices=jnp.asarray(idx),
@@ -384,6 +396,7 @@ class SceneBuilder:
             draw_vertex_offset=jnp.asarray(dvo), draw_index_offset=jnp.asarray(dio),
             draw_node_offset=jnp.asarray(dno), draw_index_count=jnp.asarray(dic),
             draw_count=jnp.asarray(nd, I32),
+            max_leaf_tris=max_leaf,
         )
 
 
