@@ -68,25 +68,30 @@ def main():
     from wc_path_tracer_tpu.render import dispatch
     render_frame = dispatch.get_render_frame(args.renderer, scene, cfg)
 
+    # NOTE: every device array must be an ARGUMENT of the jitted function.
+    # A large array captured as a closure constant permanently degrades this
+    # environment's remote-TPU session (~30ms flat penalty on every later
+    # dispatch) — and baked-in constants are bad practice on real TPU pods
+    # too (they bloat executables and defeat donation).
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
     if args.forward_only:
         @jax.jit
-        def step(scene, mats, frame):
+        def step(scene, mats, frame, target):
             return render_frame(scene, mats, cfg, frame)
     else:
         trainable = ("albedo", "emission", "emission_strength", "roughness")
 
-        def loss_fn(params, scene, mats, frame):
+        def loss_fn(params, scene, mats, frame, target):
             m = dataclasses.replace(scene.materials, **params)
             s = dataclasses.replace(scene, materials=m)
             img = render_frame(s, mats, cfg, frame)
             return jnp.mean((img - target) ** 2)
 
         @jax.jit
-        def step(scene, mats, frame):
+        def step(scene, mats, frame, target):
             params = {k: getattr(scene.materials, k) for k in trainable}
-            return jax.value_and_grad(loss_fn)(params, scene, mats, frame)
+            return jax.value_and_grad(loss_fn)(params, scene, mats, frame, target)
 
     print(f"bench: {size}x{size}, samples={cfg.samples}, "
           f"bounces={cfg.max_bounces}, renderer={args.renderer}, "
@@ -95,7 +100,7 @@ def main():
 
     # compile
     t0 = time.perf_counter()
-    out = step(scene, mats, jnp.uint32(0))
+    out = step(scene, mats, jnp.uint32(0), target)
     jax.block_until_ready(out)
     print(f"bench: compile+first step {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
@@ -103,7 +108,7 @@ def main():
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        out = step(scene, mats, jnp.uint32(i + 1))
+        out = step(scene, mats, jnp.uint32(i + 1), target)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = min(times)

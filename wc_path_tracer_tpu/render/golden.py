@@ -87,6 +87,23 @@ def _live_triangle_mask(scene: Scene):
     return jnp.any(in_draw & live_draw[None, :], axis=-1)
 
 
+def onehot_gather(table, idx, num_classes):
+    """Differentiable small-table gather as a one-hot matmul.
+
+    TPU-critical: a plain ``table[idx]`` gather transposes to a scatter-add
+    in reverse mode — millions of colliding updates into a handful of rows,
+    which XLA:TPU executes catastrophically slowly (this alone made
+    fwd+bwd ~3000x slower than forward).  A one-hot matmul has the same
+    forward value but transposes to ``onehot^T @ cotangent`` — a dense MXU
+    matmul.  Only worthwhile for small tables (materials, spheres).
+    """
+    oh = (idx[:, None] == jnp.arange(num_classes, dtype=idx.dtype)[None, :])
+    oh = oh.astype(table.dtype)
+    if table.ndim == 1:
+        return oh @ table
+    return oh @ table
+
+
 def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) -> HitRecord:
     """Closest-hit query against every sphere and triangle (masked brute force).
 
@@ -95,14 +112,24 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     (earliest index wins ties), triangles override only when *strictly*
     closer, triangle normals are flat geometric, and the surviving normal is
     flipped to face the ray with ``front`` recorded.
+
+    Differentiation strategy (TPU-critical): the closest-hit *search* over
+    all primitives is discrete argmin — it runs under stop_gradient.  The
+    winning primitive's t/normal are then recomputed differentiably from its
+    own parameters (one-hot matmul gathers for the small sphere table, a
+    single index gather for triangle vertices).  Same detached-argmin
+    estimator as before, but reverse-mode never transposes the (R, P)
+    primitive sweep into giant scatters.
     """
     sph = scene.spheres
     mesh = scene.mesh
-    R = origin.shape[0]
 
-    # --- spheres ---
-    near, far = ix.ray_sphere(origin[:, None, :], direction[:, None, :],
-                              sph.position[None], sph.radius[None])  # (R, S)
+    sg = jax.lax.stop_gradient
+    o_ng, d_ng = sg(origin), sg(direction)
+
+    # ---------- discrete search (no gradients) ----------
+    near, far = ix.ray_sphere(o_ng[:, None, :], d_ng[:, None, :],
+                              sg(sph.position)[None], sg(sph.radius)[None])  # (R, S)
     s_live = (jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count)[None, :]
     if cfg.sphere_near_root_only:
         t_cand = near  # quirk 1: reference tests only `.x` (pathTracer.comp:141)
@@ -110,44 +137,57 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
         t_cand = jnp.where(near > F32(0.0), near, far)
     t_sph = jnp.where(s_live & (t_cand > F32(0.0)), t_cand, KINF)
     sph_idx = jnp.argmin(t_sph, axis=-1)                     # first min wins ties
-    t_s = jnp.take_along_axis(t_sph, sph_idx[:, None], axis=-1)[:, 0]
+    t_s_ng = jnp.take_along_axis(t_sph, sph_idx[:, None], axis=-1)[:, 0]
 
-    # --- triangles (brute force over the flattened bank) ---
     tri = mesh.indices.reshape(-1, 3)                        # (T, 3)
-    a = mesh.vertices[tri[:, 0]]
-    b = mesh.vertices[tri[:, 1]]
-    c = mesh.vertices[tri[:, 2]]
-    t_t, _, _, t_hit = ix.ray_triangle(origin[:, None, :], direction[:, None, :],
-                                       a[None], b[None], c[None])  # (R, T)
+    verts_ng = sg(mesh.vertices)
+    a_all = verts_ng[tri[:, 0]]
+    b_all = verts_ng[tri[:, 1]]
+    c_all = verts_ng[tri[:, 2]]
+    t_t, _, _, t_hit = ix.ray_triangle(o_ng[:, None, :], d_ng[:, None, :],
+                                       a_all[None], b_all[None], c_all[None])  # (R, T)
     t_live = _live_triangle_mask(scene)[None, :]
     t_tri_all = jnp.where(t_hit & t_live, t_t, KINF)
     tri_idx = jnp.argmin(t_tri_all, axis=-1)
-    t_tr = jnp.take_along_axis(t_tri_all, tri_idx[:, None], axis=-1)[:, 0]
+    t_tr_ng = jnp.take_along_axis(t_tri_all, tri_idx[:, None], axis=-1)[:, 0]
 
-    # --- combine: triangle wins only if strictly closer (pathTracer.comp:171) ---
-    use_tri = t_tr < t_s
-    t_best = jnp.where(use_tri, t_tr, t_s)
-    hit = t_best < KINF
+    use_tri = t_tr_ng < t_s_ng   # triangle wins only if strictly closer (:171)
+    hit = jnp.minimum(t_tr_ng, t_s_ng) < KINF
 
+    # ---------- differentiable re-shade of the winners ----------
+    # sphere fields via one-hot matmuls (S is small)
+    S = sph.capacity
+    sph_center = onehot_gather(sph.position, sph_idx, S)
+    sph_radius = onehot_gather(sph.radius, sph_idx, S)
+    near_w, far_w = ix.ray_sphere(origin, direction, sph_center, sph_radius)
+    if cfg.sphere_near_root_only:
+        t_s = near_w
+    else:
+        t_s = jnp.where(sg(near_w) > F32(0.0), near_w, far_w)
+
+    # winning triangle vertices via a single gather per ray
+    ia = tri[tri_idx]                                        # (R, 3) vertex ids
+    a = mesh.vertices[ia[:, 0]]
+    b = mesh.vertices[ia[:, 1]]
+    c = mesh.vertices[ia[:, 2]]
+    t_tri_w, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
+
+    t_best = jnp.where(use_tri, t_tri_w, t_s)
     # Sanitize non-hit / padded lanes to finite values: their results are
     # masked out downstream, but inf/NaN in an unselected jnp.where branch
     # still poisons reverse-mode gradients (0 * inf = NaN in the transpose).
     t_safe = jnp.where(hit, t_best, F32(1.0))
     p = origin + t_safe[:, None] * direction
 
-    sph_center = sph.position[sph_idx]
-    sph_radius = sph.radius[sph_idx]
-    safe_radius = jnp.where(sph_radius > F32(0.0), sph_radius, F32(1.0))
+    safe_radius = jnp.where(sg(sph_radius) > F32(0.0), sph_radius, F32(1.0))
     n_sph = (p - sph_center) / safe_radius[:, None]          # pathTracer.comp:145
 
-    e1 = b[tri_idx] - a[tri_idx]
-    e2 = c[tri_idx] - a[tri_idx]
-    n_tri = ix.normalize(jnp.cross(e1, e2), eps=F32(1e-20))  # flat normal, :173
+    n_tri = ix.normalize(jnp.cross(b - a, c - a), eps=F32(1e-20))  # flat, :173
 
     normal = jnp.where(use_tri[:, None], n_tri, n_sph)
     material = jnp.where(use_tri, mesh.tri_material[tri_idx], sph.material[sph_idx])
 
-    front = jnp.sum(direction * normal, axis=-1) < F32(0.0)  # :206
+    front = jnp.sum(d_ng * sg(normal), axis=-1) < F32(0.0)   # :206
     normal = jnp.where(front[:, None], normal, -normal)      # :207
     normal = jnp.where(hit[:, None], normal,
                        jnp.array([0.0, 0.0, 1.0], F32))
@@ -262,7 +302,9 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     n_light = jnp.where(is_sphere_light[:, None], n_sph, n_tri)
     light_mat = jnp.where(is_sphere_light, sph.material[s_idx],
                           mesh.tri_material[t_idx])
-    L_e = mats.emission[light_mat] * mats.emission_strength[light_mat][:, None]
+    # one-hot matmul gather: avoids scatter-add transpose (see onehot_gather)
+    L_e = onehot_gather(mats.emission, light_mat, mats.capacity) * \
+        onehot_gather(mats.emission_strength, light_mat, mats.capacity)[:, None]
 
     # --- geometric term + shadow ray ---
     to_light = p_light - rec.p
@@ -293,17 +335,23 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
 
 
 def _gather_material(materials, mid):
-    """Per-ray material fields (the reference reads mbp.materials[id], :251)."""
+    """Per-ray material fields (the reference reads mbp.materials[id], :251).
+
+    Float fields go through one-hot matmuls so reverse mode produces MXU
+    matmuls instead of colliding scatter-adds (see onehot_gather).
+    """
+    M = materials.capacity
+    oh = (mid[:, None] == jnp.arange(M, dtype=mid.dtype)[None, :]).astype(F32)
     return dict(
         mtype=materials.mtype[mid],
-        albedo=materials.albedo[mid],
-        emission=materials.emission[mid],
-        emission_strength=materials.emission_strength[mid],
-        roughness=materials.roughness[mid],
-        metallic=materials.metallic[mid],
-        absorption=materials.absorption[mid],
-        absorption_strength=materials.absorption_strength[mid],
-        ior=materials.ior[mid],
+        albedo=oh @ materials.albedo,
+        emission=oh @ materials.emission,
+        emission_strength=oh @ materials.emission_strength,
+        roughness=oh @ materials.roughness,
+        metallic=oh @ materials.metallic,
+        absorption=oh @ materials.absorption,
+        absorption_strength=oh @ materials.absorption_strength,
+        ior=oh @ materials.ior,
     )
 
 
