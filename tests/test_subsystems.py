@@ -1,0 +1,183 @@
+"""Tests for aux subsystems: checkpoint/resume, metrics, inverse rendering,
+glTF loading, CLI."""
+
+import base64
+import json
+import os
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wc_path_tracer_tpu.models import builtin
+from wc_path_tracer_tpu.render.renderer import Renderer
+from wc_path_tracer_tpu.utils.config import RenderConfig
+
+CFG = RenderConfig(width=16, height=16, samples=1, max_bounces=2)
+
+
+def test_checkpoint_roundtrip_bitexact(tmp_path):
+    from wc_path_tracer_tpu.utils.checkpoint import load_renderer, save_renderer
+    r = Renderer(builtin.default_scene(), builtin.default_camera(), CFG)
+    r.step(3)
+    save_renderer(str(tmp_path / "ck"), r)
+
+    r2 = Renderer(builtin.default_scene(), builtin.default_camera(), CFG)
+    load_renderer(str(tmp_path / "ck"), r2)
+    assert r2.frame_count == 3
+    np.testing.assert_array_equal(np.asarray(r2.image), np.asarray(r.image))
+
+    # resumed render continues identically to uninterrupted render
+    r.step(2)
+    r2.step(2)
+    np.testing.assert_array_equal(np.asarray(r2.image), np.asarray(r.image))
+
+
+def test_checkpoint_missing_leaf_raises(tmp_path):
+    from wc_path_tracer_tpu.utils.checkpoint import save_pytree, load_pytree
+    save_pytree(str(tmp_path / "p"), {"a": jnp.ones(3)})
+    with pytest.raises(KeyError):
+        load_pytree(str(tmp_path / "p"), {"a": jnp.ones(3), "b": jnp.ones(2)})
+
+
+def test_metrics_jsonl(tmp_path):
+    from wc_path_tracer_tpu.utils.metrics import MetricsLogger, mrays
+    path = str(tmp_path / "m.jsonl")
+    log = MetricsLogger(path, echo=False)
+    log.log("frame", frame=1, mrays_per_s=123.4)
+    log.log("frame", frame=2, mrays_per_s=125.0)
+    log.close()
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 2 and recs[0]["event"] == "frame"
+    assert mrays(100, 100, 2, 3, 1.0) == 100 * 100 * 2 * 4 / 1e6
+
+
+def test_inverse_rendering_recovers_emission():
+    import dataclasses
+    from wc_path_tracer_tpu.optim.inverse import (InverseRenderConfig,
+                                                  run_inverse_rendering)
+    from wc_path_tracer_tpu.render import golden
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+
+    scene, cam = builtin.default_scene(), builtin.default_camera()
+    cfg = RenderConfig(width=16, height=16, samples=1, max_bounces=1)
+    mats = camera_matrices(cam, 1.0)
+    target = golden.render_frame(scene, mats, cfg, 0)
+
+    # perturb emission_strength away from truth (1.0 -> 0.2)
+    wrong = dataclasses.replace(scene, materials=dataclasses.replace(
+        scene.materials,
+        emission_strength=scene.materials.emission_strength * 0.2))
+
+    inv = InverseRenderConfig(trainable=("emission_strength",),
+                              learning_rate=0.1, steps=40, vary_seed=False,
+                              log_every=20)
+    out, hist = run_inverse_rendering(wrong, mats, target, cfg, inv)
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.1
+    # material 2 is the emissive "Left": strength should move toward 1.0
+    got = float(out.materials.emission_strength[2])
+    assert 0.7 < got < 1.3, got
+
+
+def test_param_projection():
+    from wc_path_tracer_tpu.optim.inverse import project_params
+    p = project_params({"albedo": jnp.array([-0.5, 0.5, 1.5]),
+                        "ior": jnp.array([0.3]),
+                        "emission_strength": jnp.array([-2.0])})
+    np.testing.assert_allclose(np.asarray(p["albedo"]), [0.0, 0.5, 1.0])
+    assert float(p["ior"][0]) == 1.0
+    assert float(p["emission_strength"][0]) == 0.0
+
+
+def _tiny_gltf(tmp_path, binary=False):
+    """One triangle with a red material, indices uint16."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    blob = pos.tobytes() + idx.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "scene": 0,
+        "nodes": [{"mesh": 0, "translation": [1.0, 0.0, 0.0]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1, "material": 0}]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.9, 0.1, 0.1, 1.0],
+            "metallicFactor": 0.0, "roughnessFactor": 1.0}}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6}],
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    if binary:
+        path = str(tmp_path / "t.glb")
+        js = json.dumps(doc).encode()
+        js += b" " * (-len(js) % 4)
+        bin_c = blob + b"\x00" * (-len(blob) % 4)
+        total = 12 + 8 + len(js) + 8 + len(bin_c)
+        with open(path, "wb") as f:
+            f.write(b"glTF" + struct.pack("<II", 2, total))
+            f.write(struct.pack("<II", len(js), 0x4E4F534A) + js)
+            f.write(struct.pack("<II", len(bin_c), 0x004E4942) + bin_c)
+    else:
+        doc["buffers"][0]["uri"] = (
+            "data:application/octet-stream;base64,"
+            + base64.b64encode(blob).decode())
+        path = str(tmp_path / "t.gltf")
+        with open(path, "w") as f:
+            json.dump(doc, f)
+    return path
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_gltf_parse(tmp_path, binary):
+    from wc_path_tracer_tpu.models.gltf import parse_gltf
+    model = parse_gltf(_tiny_gltf(tmp_path, binary))
+    assert len(model.meshes) == 1
+    m = model.meshes[0]
+    # node translation applied
+    np.testing.assert_allclose(m.vertices[0], [1, 0, 0])
+    np.testing.assert_allclose(m.vertices[1], [2, 0, 0])
+    np.testing.assert_array_equal(m.indices, [0, 1, 2])
+    assert model.materials[0]["albedo"] == (0.9, 0.1, 0.1)
+
+
+def test_gltf_scene_renders(tmp_path):
+    from wc_path_tracer_tpu.models.gltf import gltf_scene
+    from wc_path_tracer_tpu.render import golden
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    scene, cam = gltf_scene(_tiny_gltf(tmp_path))
+    mats = camera_matrices(cam, 1.0)
+    img = np.asarray(golden.render_frame(scene, mats, CFG, 0))
+    assert np.isfinite(img).all()
+    assert img.sum() > 0
+
+
+def test_cli_render_and_resume(tmp_path):
+    from wc_path_tracer_tpu.cli import main
+    out = str(tmp_path / "r.png")
+    ck = str(tmp_path / "ck")
+    main(["render", "--scene", "cornell", "--width", "16", "--height", "16",
+          "--frames", "2", "--nee", "--out", out, "--checkpoint", ck,
+          "--metrics", str(tmp_path / "m.jsonl")])
+    assert os.path.exists(out)
+    recs = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert len(recs) == 2
+    # resume continues
+    main(["render", "--scene", "cornell", "--width", "16", "--height", "16",
+          "--frames", "1", "--nee", "--out", out, "--resume", ck])
+
+
+def test_cli_invert(tmp_path):
+    from wc_path_tracer_tpu.cli import main
+    hist = main(["invert", "--scene", "default", "--width", "8", "--height",
+                 "8", "--bounces", "1", "--steps", "6", "--log-every", "2",
+                 "--trainable", "emission_strength",
+                 "--out-dir", str(tmp_path / "opt")])
+    assert hist[-1]["loss"] <= hist[0]["loss"]
+    assert os.path.exists(tmp_path / "opt" / "manifest.json")

@@ -1,0 +1,203 @@
+"""Command-line interface.
+
+The reference has no CLI at all — it is an interactive editor with hardcoded
+defaults (SURVEY §5 config entry).  The CLI exposes the same capabilities
+headlessly:
+
+    python -m wc_path_tracer_tpu render --scene cornell --nee --frames 16 \
+        --out cornell.png
+    python -m wc_path_tracer_tpu render --obj model.obj --frames 8 --out m.png
+    python -m wc_path_tracer_tpu invert --steps 100 --out-dir /tmp/inv
+    python -m wc_path_tracer_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_render_args(p):
+    p.add_argument("--scene", default="default",
+                   choices=["default", "cornell", "triangle", "bunny"])
+    p.add_argument("--obj", help="render an OBJ file instead of a builtin scene")
+    p.add_argument("--gltf", help="render a glTF file instead of a builtin scene")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--samples", type=int, default=1)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--nee", action="store_true", help="next-event estimation")
+    p.add_argument("--rr", action="store_true", help="Russian roulette")
+    p.add_argument("--jitter", action="store_true", help="subpixel AA jitter")
+    p.add_argument("--true-dielectric", action="store_true",
+                   help="fix reference quirk 3: glass renders as dielectric")
+    p.add_argument("--renderer", default="auto",
+                   choices=["auto", "golden", "wavefront"])
+
+
+def _build_scene(args):
+    from wc_path_tracer_tpu.models import builtin
+    if args.obj:
+        return builtin.mesh_scene(args.obj)
+    if args.gltf:
+        from wc_path_tracer_tpu.models.gltf import gltf_scene
+        return gltf_scene(args.gltf)
+    if args.scene == "cornell":
+        return builtin.cornell_box_scene()
+    if args.scene == "triangle":
+        return builtin.single_triangle_scene()
+    if args.scene == "bunny":
+        from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+        return bunny_like_scene()
+    return (builtin.default_scene(true_dielectric=args.true_dielectric),
+            builtin.default_camera())
+
+
+def _make_cfg(args, sky):
+    from wc_path_tracer_tpu.utils.config import RenderConfig
+    return RenderConfig(width=args.width, height=args.height,
+                        samples=args.samples, max_bounces=args.bounces,
+                        sky=sky, use_nee=args.nee, use_rr=args.rr,
+                        pixel_jitter=args.jitter)
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.render import golden
+    from wc_path_tracer_tpu.render.dispatch import get_render_frame
+    from wc_path_tracer_tpu.render.renderer import Renderer
+    from wc_path_tracer_tpu.utils.metrics import MetricsLogger, mrays
+
+    scene, cam = _build_scene(args)
+    sky = "black" if args.scene in ("cornell", "triangle") and not args.obj else "gradient"
+    cfg = _make_cfg(args, sky)
+
+    render_frame = get_render_frame(args.renderer, scene, cfg)
+    import jax
+
+    @jax.jit
+    def step_fn(scene, mats, cfg_frame, old):
+        return golden.accumulate(old, render_frame(scene, mats, cfg, cfg_frame),
+                                 cfg_frame)
+
+    r = Renderer(scene, cam, cfg,
+                 render_fn=lambda s, m, c, f, old: step_fn(s, m, f, old))
+    if args.resume:
+        from wc_path_tracer_tpu.utils.checkpoint import load_renderer
+        load_renderer(args.resume, r)
+        print(f"resumed at frame {r.frame_count}", file=sys.stderr)
+
+    log = MetricsLogger(args.metrics)
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        ft = time.perf_counter()
+        r.step(1)
+        r.image.block_until_ready()
+        dt = time.perf_counter() - ft
+        log.log("frame", frame=r.frame_count, seconds=round(dt, 4),
+                mrays_per_s=round(mrays(cfg.width, cfg.height, cfg.samples,
+                                        cfg.max_bounces, dt), 2))
+    print(f"rendered {args.frames} frames in {time.perf_counter()-t0:.2f}s",
+          file=sys.stderr)
+
+    if args.checkpoint:
+        from wc_path_tracer_tpu.utils.checkpoint import save_renderer
+        save_renderer(args.checkpoint, r)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+    r.save_png(args.out, tonemap=args.tonemap, gamma=args.gamma)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+def cmd_invert(args):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.models import builtin
+    from wc_path_tracer_tpu.optim.inverse import (InverseRenderConfig,
+                                                  run_inverse_rendering)
+    from wc_path_tracer_tpu.parallel import mesh as pmesh
+    from wc_path_tracer_tpu.render import golden
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    from wc_path_tracer_tpu.utils.metrics import MetricsLogger
+
+    scene, cam = _build_scene(args)
+    sky = "black" if args.scene in ("cornell", "triangle") else "gradient"
+    cfg = _make_cfg(args, sky)
+    mats = camera_matrices(cam, cfg.width / cfg.height)
+
+    import numpy as np
+    if args.target:
+        target = jnp.asarray(np.load(args.target), jnp.float32)
+    else:
+        # self-calibration demo: target = true scene; start from perturbed
+        target = golden.render_frame(scene, mats, cfg, 0)
+        rng = np.random.default_rng(0)
+        m = scene.materials
+        scene = dataclasses.replace(scene, materials=dataclasses.replace(
+            m,
+            albedo=jnp.clip(m.albedo + jnp.asarray(
+                rng.normal(0, 0.2, m.albedo.shape), jnp.float32), 0, 1),
+            emission_strength=m.emission_strength * 0.3))
+
+    log = MetricsLogger(args.metrics)
+    inv = InverseRenderConfig(trainable=tuple(args.trainable.split(",")),
+                              learning_rate=args.lr, steps=args.steps,
+                              log_every=args.log_every)
+    mesh = pmesh.make_mesh()
+    scene, history = run_inverse_rendering(
+        scene, mats, target, cfg, inv, mesh=mesh,
+        log_fn=lambda rec: log.log("opt_step", **rec))
+    print(f"final loss {history[-1]['loss']:.6g}", file=sys.stderr)
+
+    if args.out_dir:
+        from wc_path_tracer_tpu.utils.checkpoint import save_pytree
+        save_pytree(args.out_dir, {"scene": scene})
+        print(f"optimized scene -> {args.out_dir}", file=sys.stderr)
+    return history
+
+
+def cmd_info(args):
+    import jax
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"process: {jax.process_index()}/{jax.process_count()}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="wc_path_tracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="progressive render to PNG")
+    _add_render_args(pr)
+    pr.add_argument("--frames", type=int, default=8)
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--tonemap", default=None)
+    pr.add_argument("--gamma", type=float, default=None)
+    pr.add_argument("--checkpoint", help="save renderer state to this dir")
+    pr.add_argument("--resume", help="resume renderer state from this dir")
+    pr.add_argument("--metrics", help="JSONL metrics path")
+    pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("invert", help="inverse rendering")
+    _add_render_args(pi)
+    pi.add_argument("--steps", type=int, default=100)
+    pi.add_argument("--lr", type=float, default=5e-2)
+    pi.add_argument("--trainable", default="albedo,emission_strength")
+    pi.add_argument("--target", help=".npy target image (else self-demo)")
+    pi.add_argument("--out-dir", help="save optimized scene pytree here")
+    pi.add_argument("--metrics", help="JSONL metrics path")
+    pi.add_argument("--log-every", type=int, default=10)
+    pi.set_defaults(fn=cmd_invert)
+
+    pn = sub.add_parser("info", help="device/mesh info")
+    pn.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-F32 = jnp.float32
+F32 = np.float32  # np scalar ctor: jnp.float32(x) would create device consts
 PI = np.float32(3.14159265358979323846)
 
 

@@ -49,9 +49,9 @@ def _permute(state):
     return (word >> 22) ^ word;               (Random.glsl:13-14)
     """
     state = state.astype(jnp.uint32)
-    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    shift = (state >> np.uint32(28)) + np.uint32(4)
     word = ((state >> shift) ^ state) * _PCG_XSH_MULT
-    return (word >> jnp.uint32(22)) ^ word
+    return (word >> np.uint32(22)) ^ word
 
 
 def pcg_hash(seed):
@@ -105,8 +105,8 @@ def random_normal(state, mask=None):
     else:
         u1, state = rand_masked(state, mask)
         u2, state = rand_masked(state, mask)
-    theta = jnp.float32(2.0) * _PI * u1
-    rho = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u2))
+    theta = np.float32(2.0) * _PI * u1
+    rho = jnp.sqrt(np.float32(-2.0) * jnp.log(u2))
     return rho * jnp.cos(theta), state
 
 
@@ -134,4 +134,4 @@ def pixel_seed(pixel_index, frame_count):
     """Per-pixel per-frame seed: pcg_hash(pixel + frame*719393). pathTracer.comp:304-305."""
     pixel_index = jnp.asarray(pixel_index, jnp.uint32)
     frame = jnp.asarray(frame_count, jnp.uint32)
-    return pcg_hash(pixel_index + frame * jnp.uint32(719393))
+    return pcg_hash(pixel_index + frame * np.uint32(719393))

@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-F32 = jnp.float32
+import numpy as np
+
+F32 = np.float32  # np scalar ctor: jnp.float32(x) would create device consts
 
 
 def none(x):

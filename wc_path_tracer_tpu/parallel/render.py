@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from wc_path_tracer_tpu.parallel.mesh import DP_AXIS
@@ -40,7 +41,7 @@ def sharded_render_frame(mesh: Mesh, cfg: RenderConfig):
     band = _band(cfg, n_dev)
 
     def shard_body(scene, mats, frame_count):
-        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * jnp.uint32(band)
+        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * np.uint32(band)
         return golden.render_rows(scene, mats, cfg, frame_count, y0, band)
 
     mapped = jax.shard_map(
@@ -79,7 +80,7 @@ def sharded_render_loss_grad(mesh: Mesh, cfg: RenderConfig,
     npix = cfg.height * cfg.width * 3
 
     def shard_body(scene, mats, frame_count, target_rows):
-        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * jnp.uint32(band)
+        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * np.uint32(band)
 
         def local_loss(params):
             import dataclasses

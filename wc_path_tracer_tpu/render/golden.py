@@ -48,7 +48,8 @@ from wc_path_tracer_tpu.scene.types import (
 )
 from wc_path_tracer_tpu.utils.config import RenderConfig
 
-F32 = jnp.float32
+F32 = np.float32  # scalar ctor: np, NOT jnp — jnp.float32(x) creates a device
+#               array, which becomes a lifted executable constant when traced
 BIAS = np.float32(1e-5)           # constants.glsl bias
 KINF = ix.KINFINITY
 
@@ -99,9 +100,9 @@ def onehot_gather(table, idx, num_classes):
     """
     oh = (idx[:, None] == jnp.arange(num_classes, dtype=idx.dtype)[None, :])
     oh = oh.astype(table.dtype)
-    if table.ndim == 1:
-        return oh @ table
-    return oh @ table
+    # HIGHEST precision: the default bf16 MXU multiply would round the table
+    # values themselves (one-hot selection must be exact)
+    return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
 
 
 def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) -> HitRecord:
@@ -342,16 +343,22 @@ def _gather_material(materials, mid):
     """
     M = materials.capacity
     oh = (mid[:, None] == jnp.arange(M, dtype=mid.dtype)[None, :]).astype(F32)
+
+    def g(table):
+        # HIGHEST precision: default bf16 MXU multiplies would round the
+        # table values; one-hot selection must return them exactly
+        return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+
     return dict(
         mtype=materials.mtype[mid],
-        albedo=oh @ materials.albedo,
-        emission=oh @ materials.emission,
-        emission_strength=oh @ materials.emission_strength,
-        roughness=oh @ materials.roughness,
-        metallic=oh @ materials.metallic,
-        absorption=oh @ materials.absorption,
-        absorption_strength=oh @ materials.absorption_strength,
-        ior=oh @ materials.ior,
+        albedo=g(materials.albedo),
+        emission=g(materials.emission),
+        emission_strength=g(materials.emission_strength),
+        roughness=g(materials.roughness),
+        metallic=g(materials.metallic),
+        absorption=g(materials.absorption),
+        absorption_strength=g(materials.absorption_strength),
+        ior=g(materials.ior),
     )
 
 
@@ -382,7 +389,7 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
     trans = zeros + F32(1.0)
     alive = zeros[:, 0] == F32(0.0)  # all True, varying like origin
     prev_nee = zeros[:, 0] != F32(0.0)  # all False
-    bounce_idx0 = jnp.int32(0)
+    bounce_idx0 = np.int32(0)
 
     def bounce(carry, _):
         o, d, total, trans, seed, alive, prev_nee, bounce_idx = carry
@@ -500,7 +507,7 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
         o = jnp.where(live[:, None], new_o, o)
         d = jnp.where(live[:, None], new_d, d)
         return (o, d, total, trans, seed, live, prev_nee,
-                bounce_idx + jnp.int32(1)), None
+                bounce_idx + np.int32(1)), None
 
     # `i <= maxBounceCount` -> max_bounces + 1 segments (pathTracer.comp:245)
     (o, d, total, trans, seed, alive, prev_nee, _), _ = jax.lax.scan(
@@ -526,7 +533,7 @@ def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
 
     xs = jnp.arange(W, dtype=jnp.uint32)[None, :]
     ys = y0 + jnp.arange(num_rows, dtype=jnp.uint32)[:, None]
-    pixel_index = (xs + ys * jnp.uint32(W)).reshape(-1)
+    pixel_index = (xs + ys * np.uint32(W)).reshape(-1)
     seed = rng.pixel_seed(pixel_index, frame_count)
 
     origin = jnp.broadcast_to(mats.position, (num_rows * W, 3))

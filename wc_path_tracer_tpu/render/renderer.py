@@ -27,6 +27,20 @@ from wc_path_tracer_tpu.scene.types import Scene
 from wc_path_tracer_tpu.utils.config import RenderConfig
 
 
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("tonemap", "gamma"))
+def _finalize(img, tonemap: str, gamma: float):
+    from wc_path_tracer_tpu.ops import tonemap as tm
+    img = tm.apply(img, tonemap)
+    if gamma != 1.0:
+        img = jnp.power(jnp.maximum(img, 0.0), 1.0 / gamma)
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 class Renderer:
     """Owns (scene, camera, accumulation image, frame counter).
 
@@ -115,15 +129,14 @@ class Renderer:
 
     def output(self, tonemap: Optional[str] = None, gamma: Optional[float] = None) -> np.ndarray:
         """Tonemapped/gamma'd uint8 image (the reference displays raw linear
-        HDR, quirk §2.4(9); tonemap defaults come from cfg)."""
-        from wc_path_tracer_tpu.ops import tonemap as tm
-        img = self.image
+        HDR, quirk §2.4(9); tonemap defaults come from cfg).
+
+        The whole post chain runs as ONE jitted function — a chain of eager
+        ops would dispatch (and on remote TPUs, compile) each op separately.
+        """
         name = tonemap if tonemap is not None else self.cfg.tonemap
-        img = tm.apply(img, name)
-        g = gamma if gamma is not None else self.cfg.gamma
-        if g != 1.0:
-            img = jnp.power(jnp.maximum(img, 0.0), 1.0 / g)
-        return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+        g = float(gamma if gamma is not None else self.cfg.gamma)
+        return np.asarray(_finalize(self.image, name, g))
 
     def save_png(self, path: str, **kw):
         from wc_path_tracer_tpu.io.image import write_png

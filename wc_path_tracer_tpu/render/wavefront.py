@@ -35,8 +35,10 @@ from wc_path_tracer_tpu.render import golden
 from wc_path_tracer_tpu.scene.types import Scene
 from wc_path_tracer_tpu.utils.config import RenderConfig
 
-F32 = jnp.float32
-I32 = jnp.int32
+import numpy as np
+
+F32 = np.float32  # np scalar ctors: jnp ones create device consts when traced
+I32 = np.int32
 KINF = ix.KINFINITY
 STACK_DEPTH = 32  # reference: uint nodeStack[32] (pathTracer.comp:151)
 

@@ -18,7 +18,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-F32 = jnp.float32
+import numpy as np
+
+F32 = np.float32  # np scalar ctor: jnp.float32(x) would create device consts
 
 
 def _pytree(cls):
@@ -104,14 +106,19 @@ class CameraMatrices:
 
 def camera_matrices(camera: Camera, aspect: float) -> CameraMatrices:
     """Build view/proj and invert, as the reference's Update does
-    (PathTracingRenderer.jai:22-36)."""
-    view = look_at(camera.position, camera.position + camera.direction)
-    proj = perspective(camera.fov, aspect)
-    return CameraMatrices(
-        inverse_projection=jnp.linalg.inv(proj),
-        inverse_view=jnp.linalg.inv(view),
-        position=camera.position,
-    )
+    (PathTracingRenderer.jai:22-36).
+
+    Runs under full-f32 matmul precision: the 4x4 inverses and dot products
+    must not go through the MXU's default bf16 multiply path.
+    """
+    with jax.default_matmul_precision("highest"):
+        view = look_at(camera.position, camera.position + camera.direction)
+        proj = perspective(camera.fov, aspect)
+        return CameraMatrices(
+            inverse_projection=jnp.linalg.inv(proj),
+            inverse_view=jnp.linalg.inv(view),
+            position=camera.position,
+        )
 
 
 def primary_ray_directions(mats: CameraMatrices, width: int, height: int,
@@ -135,10 +142,17 @@ def primary_ray_directions(mats: CameraMatrices, width: int, height: int,
     cx = cx * F32(2.0) - F32(1.0)           # -> [-1, 1]
     cy = cy * F32(2.0) - F32(1.0)
 
+    # TPU-critical: einsum/matmul default to bf16 multiplies on the MXU;
+    # the projective w-component is a catastrophic cancellation
+    # ((n-f)/2fn + (f+n)/2fn = 1/f) that bf16 rounds to exactly 0 -> inf
+    # rays. Full f32 precision is mandatory for camera math.
+    hi = jax.lax.Precision.HIGHEST
     ndc = jnp.stack([cx, cy, jnp.ones_like(cx), jnp.ones_like(cx)], axis=-1)
-    target = jnp.einsum("ij,hwj->hwi", mats.inverse_projection, ndc)
+    target = jnp.einsum("ij,hwj->hwi", mats.inverse_projection, ndc,
+                        precision=hi)
     d_cam = target[..., :3] / target[..., 3:4]
     d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
     d_cam4 = jnp.concatenate([d_cam, jnp.zeros_like(d_cam[..., :1])], axis=-1)
-    d_world = jnp.einsum("ij,hwj->hwi", mats.inverse_view, d_cam4)[..., :3]
+    d_world = jnp.einsum("ij,hwj->hwi", mats.inverse_view, d_cam4,
+                         precision=hi)[..., :3]
     return d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
