@@ -28,6 +28,13 @@ class ObjModel:
     indices: np.ndarray    # (I,) i32 triangle list
 
 
+def load_obj(path: str) -> ObjModel:
+    """Parse an OBJ file, preferring the native C++ parser (bit-identical;
+    tests/test_native.py) with automatic NumPy fallback."""
+    from wc_path_tracer_tpu.scene.native import parse_obj_native
+    return parse_obj_native(path)
+
+
 def parse_obj(path_or_text: str, from_text: bool = False) -> ObjModel:
     if from_text:
         text = path_or_text

@@ -266,8 +266,10 @@ class SceneBuilder:
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         indices = np.asarray(indices, np.int32).reshape(-1)
         if bvh is None:
-            from wc_path_tracer_tpu.scene.bvh import build_bvh
-            bvh = build_bvh(vertices, indices, robust=robust_bvh)
+            # native C++ builder when available (bit-identical to the NumPy
+            # oracle; tests/test_native.py), NumPy fallback inside
+            from wc_path_tracer_tpu.scene.native import build_bvh_native
+            bvh = build_bvh_native(vertices, indices, robust=robust_bvh)
         tri_material = np.broadcast_to(
             np.asarray(tri_material, np.int32), (len(indices) // 3,)).copy()
         self.meshes.append(dict(
