@@ -215,6 +215,88 @@ def intersect_scene_bvh(scene: Scene, origin, direction, cfg: RenderConfig):
                             front=front, material=material.astype(I32))
 
 
+def intersect_scene_pallas(scene: Scene, origin, direction, cfg: RenderConfig,
+                           interpret: bool = False):
+    """Closest-hit via the Pallas packet-BVH kernel (kernels/traversal.py).
+
+    Opt-in backend for *coherent* ray batches (primary rays, shadow rays)
+    whose scene tables fit the ~1MB SMEM budget (~8k triangles); requires a
+    ray count that is a multiple of 1024.  Same selection semantics and
+    differentiable re-shade as intersect_scene_bvh.
+    """
+    from wc_path_tracer_tpu.kernels.traversal import packet_bvh_intersect
+
+    sph = scene.spheres
+    mesh = scene.mesh
+
+    near, far = ix.ray_sphere(origin[:, None, :], direction[:, None, :],
+                              sph.position[None], sph.radius[None])
+    s_live = (jnp.arange(sph.capacity, dtype=I32) < sph.count)[None, :]
+    if cfg.sphere_near_root_only:
+        t_cand = near
+    else:
+        t_cand = jnp.where(near > F32(0.0), near, far)
+    t_sph = jnp.where(s_live & (t_cand > F32(0.0)), t_cand, KINF)
+    sph_idx = jnp.argmin(t_sph, axis=-1)
+    t_s = jnp.take_along_axis(t_sph, sph_idx[:, None], axis=-1)[:, 0]
+
+    m = dict(vertices=mesh.vertices, bvh_min=mesh.bvh_min,
+             bvh_max=mesh.bvh_max, bvh_left=mesh.bvh_left,
+             bvh_count=mesh.bvh_count, indices=mesh.indices,
+             draw_node_offset=mesh.draw_node_offset,
+             draw_index_offset=mesh.draw_index_offset,
+             draw_vertex_offset=mesh.draw_vertex_offset,
+             draw_count=mesh.draw_count)
+    sg = jax.lax.stop_gradient
+    _, best_off = packet_bvh_intersect(
+        sg(origin), sg(direction), sg(t_s), m,
+        max_leaf_tris=mesh.max_leaf_tris, interpret=interpret)
+    return _reshade(scene, origin, direction, cfg, t_s, sph_idx, best_off)
+
+
+def _reshade(scene, origin, direction, cfg, t_s, sph_idx, best_off):
+    """Differentiable re-shade shared by the XLA and Pallas search backends."""
+    mesh = scene.mesh
+    sph = scene.spheres
+    tri_hit = best_off >= 0
+    safe_off = jnp.maximum(best_off, 0)
+    ia = mesh.indices[safe_off]
+    ib = mesh.indices[safe_off + 1]
+    ic = mesh.indices[safe_off + 2]
+    d = jnp.arange(mesh.draw_capacity, dtype=I32)[None, :]
+    in_draw = (safe_off[:, None] >= mesh.draw_index_offset[None, :]) & (
+        safe_off[:, None] < mesh.draw_index_offset[None, :]
+        + mesh.draw_index_count[None, :]) & (d < mesh.draw_count)
+    vert_off = jnp.sum(
+        jnp.where(in_draw, mesh.draw_vertex_offset[None, :], 0), axis=1)
+    a = mesh.vertices[vert_off + ia]
+    b = mesh.vertices[vert_off + ib]
+    c = mesh.vertices[vert_off + ic]
+    t_tri, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
+    t_tr = jnp.where(tri_hit, t_tri, KINF)
+
+    use_tri = t_tr < t_s
+    t_best = jnp.where(use_tri, t_tr, t_s)
+    hit = t_best < KINF
+    t_safe = jnp.where(hit, t_best, F32(1.0))
+    p = origin + t_safe[:, None] * direction
+
+    sph_center = sph.position[sph_idx]
+    sph_radius = sph.radius[sph_idx]
+    safe_radius = jnp.where(sph_radius > F32(0.0), sph_radius, F32(1.0))
+    n_sph = (p - sph_center) / safe_radius[:, None]
+    n_tri = ix.normalize(jnp.cross(b - a, c - a), eps=F32(1e-20))
+
+    normal = jnp.where(use_tri[:, None], n_tri, n_sph)
+    material = jnp.where(use_tri, mesh.tri_material[safe_off // 3],
+                         sph.material[sph_idx])
+    front = jnp.sum(direction * normal, axis=-1) < F32(0.0)
+    normal = jnp.where(front[:, None], normal, -normal)
+    normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0], F32))
+    return golden.HitRecord(t=t_safe, p=p, normal=normal, hit=hit,
+                            front=front, material=material.astype(I32))
+
+
 def trace_rays(scene, origin, direction, seed, cfg):
     return golden.trace_rays(scene, origin, direction, seed, cfg,
                              intersect_fn=intersect_scene_bvh)
