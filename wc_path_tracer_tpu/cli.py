@@ -34,6 +34,12 @@ def _add_render_args(p):
                    help="fix reference quirk 3: glass renders as dielectric")
     p.add_argument("--renderer", default="auto",
                    choices=["auto", "golden", "wavefront"])
+    p.add_argument("--bloom", action="store_true",
+                   help="bloom post pass (ref ships bloom.comp but never "
+                        "dispatches it)")
+    p.add_argument("--bloom-threshold", type=float, default=1.0)
+    p.add_argument("--bloom-knee", type=float, default=0.1)
+    p.add_argument("--bloom-strength", type=float, default=1.0)
 
 
 def _build_scene(args):
@@ -59,7 +65,10 @@ def _make_cfg(args, sky):
     return RenderConfig(width=args.width, height=args.height,
                         samples=args.samples, max_bounces=args.bounces,
                         sky=sky, use_nee=args.nee, use_rr=args.rr,
-                        pixel_jitter=args.jitter)
+                        pixel_jitter=args.jitter, bloom=args.bloom,
+                        bloom_threshold=args.bloom_threshold,
+                        bloom_knee=args.bloom_knee,
+                        bloom_strength=args.bloom_strength)
 
 
 def cmd_render(args):

@@ -32,9 +32,16 @@ from functools import partial
 import jax
 
 
-@partial(jax.jit, static_argnames=("tonemap", "gamma"))
-def _finalize(img, tonemap: str, gamma: float):
+@partial(jax.jit, static_argnames=("tonemap", "gamma", "bloom",
+                                   "bloom_threshold", "bloom_knee",
+                                   "bloom_strength"))
+def _finalize(img, tonemap: str, gamma: float, bloom: bool = False,
+              bloom_threshold: float = 1.0, bloom_knee: float = 0.1,
+              bloom_strength: float = 1.0):
     from wc_path_tracer_tpu.ops import tonemap as tm
+    if bloom:
+        from wc_path_tracer_tpu.ops import bloom as bl
+        img = img + bloom_strength * bl.bloom(img, bloom_threshold, bloom_knee)
     img = tm.apply(img, tonemap)
     if gamma != 1.0:
         img = jnp.power(jnp.maximum(img, 0.0), 1.0 / gamma)
@@ -136,7 +143,10 @@ class Renderer:
         """
         name = tonemap if tonemap is not None else self.cfg.tonemap
         g = float(gamma if gamma is not None else self.cfg.gamma)
-        return np.asarray(_finalize(self.image, name, g))
+        c = self.cfg
+        return np.asarray(_finalize(self.image, name, g, c.bloom,
+                                    c.bloom_threshold, c.bloom_knee,
+                                    c.bloom_strength))
 
     def save_png(self, path: str, **kw):
         from wc_path_tracer_tpu.io.image import write_png

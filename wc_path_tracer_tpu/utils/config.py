@@ -44,6 +44,13 @@ class RenderConfig:
     tonemap: str = "none"        # one of ops.tonemap.TONEMAPS; ref computes raw linear HDR
     #                              (tonemap calls commented out, pathTracer.comp:320-321)
     gamma: float = 1.0           # output gamma (1.0 = ref's raw linear output)
+    bloom: bool = False          # bloom pyramid post pass (bloom.comp is compiled
+    #                              but never dispatched in the ref, quirk §2.4(9) —
+    #                              here it is live and off by default)
+    bloom_threshold: float = 1.0  # prefilter threshold (bloom.comp Params.x)
+    bloom_knee: float = 0.1       # soft-knee width (curve = thr-knee, 2k, .25/k)
+    bloom_strength: float = 1.0   # scale on the added bloom (1.0 = composite.comp's
+    #                               direct add; extension knob beyond the ref)
 
     # --- compat quirks (True = reproduce reference behavior bit-for-bit) ---
     sphere_near_root_only: bool = True  # quirk 1: ref tests only the near root `.x`
