@@ -181,3 +181,46 @@ def test_cli_invert(tmp_path):
                  "--out-dir", str(tmp_path / "opt")])
     assert hist[-1]["loss"] <= hist[0]["loss"]
     assert os.path.exists(tmp_path / "opt" / "manifest.json")
+
+
+def test_object_list_add_remove_sphere():
+    """Editor object-list add/delete analog (src/editor.jai:226-299)."""
+    scene = builtin.default_scene()
+    cfg = RenderConfig(width=16, height=16, samples=1, max_bounces=2,
+                       sky="gradient")
+    r = Renderer(scene, builtin.default_camera(), cfg)
+    base = np.asarray(r.step())
+
+    n0 = int(r.scene.spheres.count)
+    cap = r.scene.spheres.capacity
+    if n0 < cap:
+        idx = r.add_sphere((0.0, 1.0, -1.0), 0.5, 0)
+        assert idx == n0 and r.frame_count == 0
+        assert int(r.scene.spheres.count) == n0 + 1
+        with_sphere = np.asarray(r.step())
+        assert not np.allclose(with_sphere, base)  # sphere visible
+
+        r.remove_sphere(idx)
+        assert int(r.scene.spheres.count) == n0 and r.frame_count == 0
+        np.testing.assert_allclose(np.asarray(r.step()), base, rtol=1e-5,
+                                   atol=1e-6)
+
+    with pytest.raises(IndexError):
+        r.remove_sphere(int(r.scene.spheres.count))
+
+
+def test_object_list_remove_mesh():
+    scene, cam = builtin.cornell_box_scene()  # cornell walls are meshes
+    cfg = RenderConfig(width=16, height=16, samples=1, max_bounces=1,
+                       sky="gradient")
+    r = Renderer(scene, cam, cfg)
+    n0 = int(r.scene.mesh.draw_count)
+    if n0 == 0:
+        pytest.skip("scene has no meshes")
+    base = np.asarray(r.step())
+    r.remove_mesh(0)
+    assert int(r.scene.mesh.draw_count) == n0 - 1 and r.frame_count == 0
+    after = np.asarray(r.step())
+    assert not np.allclose(after, base)
+    with pytest.raises(IndexError):
+        r.remove_mesh(n0 - 1)

@@ -107,6 +107,83 @@ class Renderer:
             self.scene, spheres=dataclasses.replace(sph, **upd))
         self.reset_accumulation()
 
+    def add_sphere(self, position, radius, material: int) -> int:
+        """Append a sphere into the padded capacity; resets accumulation.
+
+        Headless analog of adding objects in the editor's object list
+        (src/editor.jai:226-299).  The sphere arrays keep their static
+        capacity (no recompile); only the live ``count`` uniform grows,
+        matching how the reference passes sphereCount at runtime
+        (pathTracer.comp:140)."""
+        sph = self.scene.spheres
+        n = int(sph.count)
+        if n >= sph.capacity:
+            # auto-grow by doubling, like the reference buffer manager's
+            # Resize-on-growth (src/BufferManager.jai:52-64).  Costs one
+            # recompile (new static shape) — growth, not edits, pays it.
+            pad = sph.capacity
+            sph = dataclasses.replace(
+                sph,
+                position=jnp.concatenate(
+                    [sph.position, jnp.zeros((pad, 3), sph.position.dtype)]),
+                radius=jnp.concatenate(
+                    [sph.radius, jnp.zeros((pad,), sph.radius.dtype)]),
+                material=jnp.concatenate(
+                    [sph.material, jnp.zeros((pad,), sph.material.dtype)]))
+        sph = dataclasses.replace(
+            sph,
+            position=sph.position.at[n].set(jnp.asarray(position, jnp.float32)),
+            radius=sph.radius.at[n].set(jnp.asarray(radius, jnp.float32)),
+            material=sph.material.at[n].set(jnp.asarray(material, jnp.int32)),
+            count=jnp.asarray(n + 1, sph.count.dtype))
+        self.scene = dataclasses.replace(self.scene, spheres=sph)
+        self.reset_accumulation()
+        return n
+
+    def remove_sphere(self, index: int):
+        """Ordered delete from the object list (src/editor.jai:226-299);
+        later spheres shift down one slot.  Resets accumulation."""
+        sph = self.scene.spheres
+        n = int(sph.count)
+        if not 0 <= index < n:
+            raise IndexError(f"sphere {index} not live (count={n})")
+
+        def shift(arr):
+            return jnp.concatenate(
+                [arr[:index], arr[index + 1:], arr[index:index + 1]], axis=0)
+
+        sph = dataclasses.replace(
+            sph, position=shift(sph.position), radius=shift(sph.radius),
+            material=shift(sph.material),
+            count=jnp.asarray(n - 1, sph.count.dtype))
+        self.scene = dataclasses.replace(self.scene, spheres=sph)
+        self.reset_accumulation()
+
+    def remove_mesh(self, index: int):
+        """Delete a mesh draw command (object-list delete for meshes).
+
+        Shifts later draw entries down and decrements the live draw count;
+        the mesh's vertex/index/BVH storage stays allocated but unreferenced,
+        like the reference leaving buffers resident after list removal."""
+        mesh = self.scene.mesh
+        n = int(mesh.draw_count)
+        if not 0 <= index < n:
+            raise IndexError(f"mesh {index} not live (draw_count={n})")
+
+        def shift(arr):
+            return jnp.concatenate(
+                [arr[:index], arr[index + 1:], arr[index:index + 1]], axis=0)
+
+        mesh = dataclasses.replace(
+            mesh,
+            draw_vertex_offset=shift(mesh.draw_vertex_offset),
+            draw_index_offset=shift(mesh.draw_index_offset),
+            draw_node_offset=shift(mesh.draw_node_offset),
+            draw_index_count=shift(mesh.draw_index_count),
+            draw_count=jnp.asarray(n - 1, mesh.draw_count.dtype))
+        self.scene = dataclasses.replace(self.scene, mesh=mesh)
+        self.reset_accumulation()
+
     def set_samples(self, samples: int):
         self.cfg = self.cfg.replace(samples=samples)
         self.reset_accumulation()
