@@ -34,8 +34,12 @@ def main():
     ap.add_argument("--renderer", default="auto", choices=["auto", "golden", "wavefront"],
                     help="render path to benchmark")
     ap.add_argument("--scene", default="cornell",
-                    choices=["cornell", "bunny", "default", "triangle"],
+                    choices=["cornell", "bunny", "default", "triangle", "bsdf"],
                     help="benchmark scene (BASELINE config ladder)")
+    ap.add_argument("--nee", action="store_true",
+                    help="next-event estimation (config b)")
+    ap.add_argument("--rr", action="store_true",
+                    help="Russian roulette termination (config d)")
     ap.add_argument("--subdiv", type=int, default=5,
                     help="bunny mesh subdivision level (20*4^n tris)")
     args = ap.parse_args()
@@ -58,11 +62,15 @@ def main():
     elif args.scene == "triangle":
         scene, cam = builtin.single_triangle_scene()
         sky = "black"
+    elif args.scene == "bsdf":
+        scene, cam = builtin.full_bsdf_scene()
+        sky = "black"
     else:
         scene, cam = builtin.default_scene(), builtin.default_camera()
         sky = "gradient"
     cfg = RenderConfig(width=size, height=size, samples=args.samples,
-                       max_bounces=args.bounces, sky=sky)
+                       max_bounces=args.bounces, sky=sky,
+                       use_nee=args.nee, use_rr=args.rr)
     mats = camera_matrices(cam, 1.0)
 
     from wc_path_tracer_tpu.render import dispatch

@@ -157,3 +157,60 @@ def mesh_scene(mesh_path: str, scale: float = 1.0) -> tuple[Scene, Camera]:
     cam = Camera.create(position=(0.0, extent * 0.8, extent * 2.5),
                         yaw=-90.0, pitch=-15.0, fov=50.0)
     return b.build(), cam
+
+
+def full_bsdf_scene() -> tuple[Scene, Camera]:
+    """BASELINE config (d): every BSDF in one Cornell enclosure.
+
+    One sphere per material model — METAL (fuzzy mirror, pathTracer.comp:
+    256-262), DIELECTRIC (Fresnel/TIR/Beer-Lambert, :264-280), plus the
+    framework's LAMBERTIAN and GGX extensions — lit by the Cornell area
+    light.  Meant for the 1024x1024, 8-bounce Russian-roulette benchmark.
+    """
+    from wc_path_tracer_tpu.scene.types import MATERIAL_GGX
+
+    b = SceneBuilder()
+    white = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.73, 0.73, 0.73))
+    red = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.65, 0.05, 0.05))
+    green = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.12, 0.45, 0.15))
+    light = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.0, 0.0, 0.0),
+                           emission=(1.0, 1.0, 1.0), emission_strength=15.0)
+    metal = b.add_material(MATERIAL_METAL, albedo=(0.9, 0.75, 0.3),
+                           roughness=0.15)
+    glass = b.add_material(MATERIAL_DIELECTRIC, albedo=(1.0, 1.0, 1.0),
+                           ior=1.5, absorption=(0.1, 0.02, 0.02),
+                           absorption_strength=0.02)
+    diffuse = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.2, 0.4, 0.8))
+    ggx = b.add_material(MATERIAL_GGX, albedo=(0.95, 0.95, 0.95),
+                         roughness=0.3)
+
+    S = 555.0
+    verts: list = []
+    idx: list = []
+    trimat: list = []
+
+    def add_quad(p0, p1, p2, p3, mat):
+        base = len(verts)
+        verts.extend([p0, p1, p2, p3])
+        idx.extend([base, base + 1, base + 2, base, base + 2, base + 3])
+        trimat.extend([mat, mat])
+
+    add_quad((0, 0, 0), (S, 0, 0), (S, 0, -S), (0, 0, -S), white)
+    add_quad((0, S, 0), (0, S, -S), (S, S, -S), (S, S, 0), white)
+    add_quad((0, 0, -S), (S, 0, -S), (S, S, -S), (0, S, -S), white)
+    add_quad((0, 0, 0), (0, 0, -S), (0, S, -S), (0, S, 0), red)
+    add_quad((S, 0, 0), (S, S, 0), (S, S, -S), (S, 0, -S), green)
+    add_quad((213, S - 1.0, -227), (343, S - 1.0, -227),
+             (343, S - 1.0, -332), (213, S - 1.0, -332), light)
+    b.add_mesh(np.asarray(verts, np.float32), np.asarray(idx, np.int32),
+               tri_material=np.asarray(trimat, np.int32))
+
+    r = 75.0
+    b.add_sphere((120.0, r, -140.0), r, metal)
+    b.add_sphere((278.0, r, -278.0), r, glass)
+    b.add_sphere((430.0, r, -140.0), r, diffuse)
+    b.add_sphere((278.0, r + 170.0, -400.0), r, ggx)
+
+    cam = Camera.create(position=(278.0, 273.0, 800.0), yaw=-90.0, pitch=0.0,
+                        fov=40.0)
+    return b.build(), cam
