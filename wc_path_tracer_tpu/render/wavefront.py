@@ -145,6 +145,80 @@ def _bvh_closest_tri(scene: Scene, origin, direction, t_init):
     return t_best, best_off
 
 
+def _bvh_closest_tri_stackless(scene: Scene, origin, direction, t_init):
+    """Stackless escape-link BVH walk (TPU-preferred traversal).
+
+    Same closest-hit result as _bvh_closest_tri, different machine mapping:
+    per-lane state is ONE i32 node cursor instead of an (R, 32) stack, so
+    each while iteration is a handful of gathers + one box test on the VPU —
+    no one-hot stack updates and no two extra child box tests.  Visit order
+    is fixed DFS (no near-child-first heuristic, pathTracer.comp:186-198);
+    t-max pruning still culls whole subtrees, and the fixed order is the
+    price of the ~5x cheaper iteration.  Escape links come from the host
+    builder (scene/types.py escape_links)."""
+    mesh = scene.mesh
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    t_init = jax.lax.stop_gradient(t_init)
+    inv_dir = F32(1.0) / direction
+    R = origin.shape[0]
+
+    node_min = jax.lax.stop_gradient(mesh.bvh_min)
+    node_max = jax.lax.stop_gradient(mesh.bvh_max)
+    verts = jax.lax.stop_gradient(mesh.vertices)
+
+    def traverse_one_draw(d_idx, carry):
+        t_best, best_off = carry
+        active_draw = d_idx < mesh.draw_count
+        node_off = mesh.draw_node_offset[d_idx]
+        index_off = mesh.draw_index_offset[d_idx]
+        vert_off = mesh.draw_vertex_offset[d_idx]
+
+        cur = jnp.where(active_draw, jnp.full((R,), 1, I32) * node_off,
+                        jnp.full((R,), -1, I32))
+
+        def cond(state):
+            _, _, cur = state
+            return jnp.any(cur >= 0)
+
+        def body(state):
+            t_best, best_off, cur = state
+            active = cur >= 0
+            node = jnp.maximum(cur, 0)
+
+            t0, t1 = ix.ray_box(origin, inv_dir, node_min[node], node_max[node])
+            enter = active & (t0 <= t1) & (t1 >= F32(0.0)) & (t0 <= t_best)
+
+            count = mesh.bvh_count[node]
+            left = mesh.bvh_left[node]
+            esc = mesh.bvh_escape[node]
+            is_leaf = count > 0
+
+            for k in range(mesh.max_leaf_tris):
+                tri_valid = enter & is_leaf & (I32(3 * k) < count)
+                i0 = index_off + left + I32(3 * k)
+                ia = vert_off + mesh.indices[i0]
+                ib = vert_off + mesh.indices[i0 + 1]
+                ic = vert_off + mesh.indices[i0 + 2]
+                t, _, _, hit = ix.ray_triangle(
+                    origin, direction, verts[ia], verts[ib], verts[ic])
+                upd = tri_valid & hit & (t < t_best)
+                t_best = jnp.where(upd, t, t_best)
+                best_off = jnp.where(upd, i0, best_off)
+
+            esc_g = jnp.where(esc < 0, I32(-1), node_off + esc)
+            nxt = jnp.where(enter & ~is_leaf, node_off + left, esc_g)
+            cur = jnp.where(active, nxt, cur)
+            return t_best, best_off, cur
+
+        t_best, best_off, _ = jax.lax.while_loop(
+            cond, body, (t_best, best_off, cur))
+        return t_best, best_off
+
+    best = (t_init, jnp.full((R,), -1, I32))
+    return jax.lax.fori_loop(0, mesh.draw_capacity, traverse_one_draw, best)
+
+
 def intersect_scene_bvh(scene: Scene, origin, direction, cfg: RenderConfig):
     """Closest-hit query via BVH traversal; same selection semantics as
     golden.intersect_scene_brute (spheres first, triangles override on
@@ -166,7 +240,9 @@ def intersect_scene_bvh(scene: Scene, origin, direction, cfg: RenderConfig):
     t_s = jnp.take_along_axis(t_sph, sph_idx[:, None], axis=-1)[:, 0]
 
     # --- triangles: discrete BVH search, then differentiable re-shade ---
-    t_tr_d, best_off = _bvh_closest_tri(scene, origin, direction, t_s)
+    walk = (_bvh_closest_tri_stackless if cfg.traversal == "stackless"
+            else _bvh_closest_tri)
+    t_tr_d, best_off = walk(scene, origin, direction, t_s)
     tri_hit = best_off >= 0
     safe_off = jnp.maximum(best_off, 0)
     ia = mesh.indices[safe_off]

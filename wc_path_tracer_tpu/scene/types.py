@@ -141,6 +141,10 @@ class MeshBank:
     bvh_max: jax.Array        # (N, 3) f32
     bvh_left: jax.Array       # (N,) int32 — left child or first index offset
     bvh_count: jax.Array      # (N,) int32 — 0 = inner node, else index count (3*tris)
+    bvh_escape: jax.Array     # (N,) int32 — DFS escape link for stackless
+    #   traversal (-1 = subtree done -> lane drains); children are allocated
+    #   contiguously (left, left+1) so escape(left)=left+1,
+    #   escape(right)=escape(parent).  Host-computed; see escape_links().
     draw_vertex_offset: jax.Array  # (D,) int32
     draw_index_offset: jax.Array   # (D,) int32
     draw_node_offset: jax.Array    # (D,) int32
@@ -186,6 +190,7 @@ class MeshBank:
             bvh_max=jnp.full((node_capacity, 3), np.float32(-np.finfo(np.float32).max)),
             bvh_left=jnp.zeros(node_capacity, I32),
             bvh_count=jnp.zeros(node_capacity, I32),
+            bvh_escape=jnp.full(node_capacity, -1, I32),
             draw_vertex_offset=jnp.zeros(draw_capacity, I32),
             draw_index_offset=jnp.zeros(draw_capacity, I32),
             draw_node_offset=jnp.zeros(draw_capacity, I32),
@@ -368,6 +373,7 @@ class SceneBuilder:
         node_max = np.full((ncap, 3), -np.finfo(np.float32).max, np.float32)
         node_left = np.zeros(ncap, np.int32)
         node_count = np.zeros(ncap, np.int32)
+        node_escape = np.full(ncap, -1, np.int32)
         dvo = np.zeros(dcap, np.int32)
         dio = np.zeros(dcap, np.int32)
         dno = np.zeros(dcap, np.int32)
@@ -385,6 +391,8 @@ class SceneBuilder:
             node_max[no:no + N] = m["bvh"].node_max
             node_left[no:no + N] = m["bvh"].node_left
             node_count[no:no + N] = m["bvh"].node_count
+            node_escape[no:no + N] = escape_links(
+                m["bvh"].node_left, m["bvh"].node_count)
             dvo[d], dio[d], dno[d], dic[d] = vo, io, no, I
             vo, io, no = vo + V, io + I, no + N
 
@@ -395,11 +403,36 @@ class SceneBuilder:
             tri_material=jnp.asarray(trimat),
             bvh_min=jnp.asarray(node_min), bvh_max=jnp.asarray(node_max),
             bvh_left=jnp.asarray(node_left), bvh_count=jnp.asarray(node_count),
+            bvh_escape=jnp.asarray(node_escape),
             draw_vertex_offset=jnp.asarray(dvo), draw_index_offset=jnp.asarray(dio),
             draw_node_offset=jnp.asarray(dno), draw_index_count=jnp.asarray(dic),
             draw_count=jnp.asarray(nd, I32),
             max_leaf_tris=max_leaf,
         )
+
+
+def escape_links(node_left: np.ndarray, node_count: np.ndarray) -> np.ndarray:
+    """DFS escape links for stackless BVH traversal (mesh-local indices).
+
+    After finishing node i's subtree the walk jumps to escape[i]; -1 means
+    the whole tree is done.  Children are stored contiguously by the builder
+    (leftNode, leftNode+1 — same allocation scheme as the reference,
+    src/PathTracingRenderer.jai:177-180), so escape(left) = right sibling and
+    escape(right) = escape(parent).  Iterative (the reference caps depth at
+    32, but keep this robust to any tree)."""
+    n = len(node_left)
+    esc = np.full(n, -1, np.int32)
+    if n == 0:
+        return esc
+    stack = [(0, -1)]
+    while stack:
+        node, e = stack.pop()
+        esc[node] = e
+        if node_count[node] == 0:  # inner
+            left = int(node_left[node])
+            stack.append((left + 1, e))
+            stack.append((left, left + 1))
+    return esc
 
 
 def _round_up_pow2(n: int) -> int:

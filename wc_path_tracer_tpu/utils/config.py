@@ -52,6 +52,13 @@ class RenderConfig:
     bloom_strength: float = 1.0   # scale on the added bloom (1.0 = composite.comp's
     #                               direct add; extension knob beyond the ref)
 
+    traversal: str = "stackless"  # BVH walk flavor: "stackless" = escape-link
+    #                               DFS (one i32 cursor per lane, cheapest
+    #                               iteration on the VPU); "stack" = per-lane
+    #                               32-deep stack with near-child-first order,
+    #                               the reference's exact visit order
+    #                               (pathTracer.comp:151-201).
+
     # --- compat quirks (True = reproduce reference behavior bit-for-bit) ---
     sphere_near_root_only: bool = True  # quirk 1: ref tests only the near root `.x`
     #                                     of raySphereIntersect (pathTracer.comp:141-142),
@@ -67,6 +74,8 @@ class RenderConfig:
             raise ValueError("max_bounces must be >= 0")
         if self.sky not in ("gradient", "black"):
             raise ValueError(f"unknown sky model: {self.sky!r}")
+        if self.traversal not in ("stackless", "stack"):
+            raise ValueError(f"unknown traversal: {self.traversal!r}")
 
     @property
     def num_rays(self) -> int:
