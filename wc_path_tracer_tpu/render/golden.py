@@ -75,17 +75,12 @@ def _live_triangle_mask(scene: Scene):
     """(T,) bool — which padded triangle slots belong to a live draw command.
 
     The reference iterates draw commands up to the runtime uniform
-    ``drawCommandCount`` (pathTracer.comp:152); here the same information is a
-    mask over the flattened bank.
+    ``drawCommandCount`` (pathTracer.comp:152); here the same information is
+    the precomputed per-triangle draw-id column (scene/types.py tri_draw):
+    a slot is live iff its draw id is a live table entry.
     """
     mesh = scene.mesh
-    t_first_index = jnp.arange(mesh.triangle_capacity, dtype=jnp.int32) * 3
-    d = jnp.arange(mesh.draw_capacity, dtype=jnp.int32)
-    live_draw = d < mesh.draw_count
-    lo = mesh.draw_index_offset[None, :]
-    hi = lo + mesh.draw_index_count[None, :]
-    in_draw = (t_first_index[:, None] >= lo) & (t_first_index[:, None] < hi)
-    return jnp.any(in_draw & live_draw[None, :], axis=-1)
+    return (mesh.tri_draw >= 0) & (mesh.tri_draw < mesh.draw_count)
 
 
 def onehot_gather(table, idx, num_classes):

@@ -174,12 +174,17 @@ class Renderer:
             return jnp.concatenate(
                 [arr[:index], arr[index + 1:], arr[index:index + 1]], axis=0)
 
+        # remap the per-triangle draw-id column: the removed draw's triangles
+        # become padding (-1), later draws' ids shift down with the table
+        td = mesh.tri_draw
+        td = jnp.where(td == index, -1, jnp.where(td > index, td - 1, td))
         mesh = dataclasses.replace(
             mesh,
             draw_vertex_offset=shift(mesh.draw_vertex_offset),
             draw_index_offset=shift(mesh.draw_index_offset),
             draw_node_offset=shift(mesh.draw_node_offset),
             draw_index_count=shift(mesh.draw_index_count),
+            tri_draw=td,
             draw_count=jnp.asarray(n - 1, mesh.draw_count.dtype))
         self.scene = dataclasses.replace(self.scene, mesh=mesh)
         self.reset_accumulation()

@@ -224,7 +224,6 @@ def intersect_scene_bvh(scene: Scene, origin, direction, cfg: RenderConfig):
     golden.intersect_scene_brute (spheres first, triangles override on
     strictly-closer, quirks preserved)."""
     sph = scene.spheres
-    mesh = scene.mesh
 
     # --- spheres: brute force (counts are tiny; same as reference's linear
     # scan, pathTracer.comp:140-149) ---
@@ -242,53 +241,8 @@ def intersect_scene_bvh(scene: Scene, origin, direction, cfg: RenderConfig):
     # --- triangles: discrete BVH search, then differentiable re-shade ---
     walk = (_bvh_closest_tri_stackless if cfg.traversal == "stackless"
             else _bvh_closest_tri)
-    t_tr_d, best_off = walk(scene, origin, direction, t_s)
-    tri_hit = best_off >= 0
-    safe_off = jnp.maximum(best_off, 0)
-    ia = mesh.indices[safe_off]
-    ib = mesh.indices[safe_off + 1]
-    ic = mesh.indices[safe_off + 2]
-    # vertex offset of the draw command the winning triangle belongs to is
-    # already folded into ia/ib/ic? No — indices are per-mesh; recover the
-    # draw's vertex offset by locating safe_off in the draw table.
-    d = jnp.arange(mesh.draw_capacity, dtype=I32)[None, :]
-    in_draw = (safe_off[:, None] >= mesh.draw_index_offset[None, :]) & (
-        safe_off[:, None] < mesh.draw_index_offset[None, :]
-        + mesh.draw_index_count[None, :]) & (d < mesh.draw_count)
-    vert_off = jnp.sum(
-        jnp.where(in_draw, mesh.draw_vertex_offset[None, :], 0), axis=1)
-    a = mesh.vertices[vert_off + ia]
-    b = mesh.vertices[vert_off + ib]
-    c = mesh.vertices[vert_off + ic]
-    # differentiable recompute of the winning triangle's t
-    t_tri, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
-    t_tr = jnp.where(tri_hit, t_tri, KINF)
-
-    # --- combine (triangle wins only when strictly closer, :171) ---
-    use_tri = t_tr < t_s
-    t_best = jnp.where(use_tri, t_tr, t_s)
-    hit = t_best < KINF
-
-    t_safe = jnp.where(hit, t_best, F32(1.0))
-    p = origin + t_safe[:, None] * direction
-
-    sph_center = sph.position[sph_idx]
-    sph_radius = sph.radius[sph_idx]
-    safe_radius = jnp.where(sph_radius > F32(0.0), sph_radius, F32(1.0))
-    n_sph = (p - sph_center) / safe_radius[:, None]
-
-    n_tri = ix.normalize(jnp.cross(b - a, c - a), eps=F32(1e-20))
-
-    normal = jnp.where(use_tri[:, None], n_tri, n_sph)
-    material = jnp.where(use_tri, mesh.tri_material[safe_off // 3],
-                         sph.material[sph_idx])
-
-    front = jnp.sum(direction * normal, axis=-1) < F32(0.0)
-    normal = jnp.where(front[:, None], normal, -normal)
-    normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0], F32))
-
-    return golden.HitRecord(t=t_safe, p=p, normal=normal, hit=hit,
-                            front=front, material=material.astype(I32))
+    _, best_off = walk(scene, origin, direction, t_s)
+    return _reshade(scene, origin, direction, cfg, t_s, sph_idx, best_off)
 
 
 def intersect_scene_pallas(scene: Scene, origin, direction, cfg: RenderConfig,
@@ -339,12 +293,10 @@ def _reshade(scene, origin, direction, cfg, t_s, sph_idx, best_off):
     ia = mesh.indices[safe_off]
     ib = mesh.indices[safe_off + 1]
     ic = mesh.indices[safe_off + 2]
-    d = jnp.arange(mesh.draw_capacity, dtype=I32)[None, :]
-    in_draw = (safe_off[:, None] >= mesh.draw_index_offset[None, :]) & (
-        safe_off[:, None] < mesh.draw_index_offset[None, :]
-        + mesh.draw_index_count[None, :]) & (d < mesh.draw_count)
-    vert_off = jnp.sum(
-        jnp.where(in_draw, mesh.draw_vertex_offset[None, :], 0), axis=1)
+    # O(1) vertex-offset recovery via the per-triangle draw-id column
+    # (scene/types.py tri_draw) instead of rescanning the draw table per ray
+    draw_id = jnp.maximum(mesh.tri_draw[safe_off // 3], 0)
+    vert_off = mesh.draw_vertex_offset[draw_id]
     a = mesh.vertices[vert_off + ia]
     b = mesh.vertices[vert_off + ib]
     c = mesh.vertices[vert_off + ic]

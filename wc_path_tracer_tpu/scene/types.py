@@ -137,6 +137,12 @@ class MeshBank:
     uvs: jax.Array            # (V, 2) f32
     indices: jax.Array        # (I,) int32 — triangle list, stride 3
     tri_material: jax.Array   # (I//3,) int32 — per-triangle material id
+    tri_draw: jax.Array       # (I//3,) int32 — draw id owning each triangle
+    #   slot (-1 = padding / removed draw).  Replaces the reference's
+    #   pointer-chasing "which DrawCommand does this index belong to"
+    #   (device addresses, pathTracer.comp:82-88) with a precomputed O(1)
+    #   column — liveness checks and vertex-offset recovery become single
+    #   gathers instead of O(T*D)/O(R*D) draw-table rescans per bounce.
     bvh_min: jax.Array        # (N, 3) f32
     bvh_max: jax.Array        # (N, 3) f32
     bvh_left: jax.Array       # (N,) int32 — left child or first index offset
@@ -186,6 +192,7 @@ class MeshBank:
             uvs=jnp.zeros((vertex_capacity, 2), F32),
             indices=jnp.zeros(index_capacity, I32),
             tri_material=jnp.zeros(index_capacity // 3, I32),
+            tri_draw=jnp.full(index_capacity // 3, -1, I32),
             bvh_min=jnp.full((node_capacity, 3), np.float32(np.finfo(np.float32).max)),
             bvh_max=jnp.full((node_capacity, 3), np.float32(-np.finfo(np.float32).max)),
             bvh_left=jnp.zeros(node_capacity, I32),
@@ -369,6 +376,7 @@ class SceneBuilder:
         uvs = np.zeros((vcap, 2), np.float32)
         idx = np.zeros(icap, np.int32)
         trimat = np.zeros(icap // 3, np.int32)
+        tridraw = np.full(icap // 3, -1, np.int32)
         node_min = np.full((ncap, 3), np.finfo(np.float32).max, np.float32)
         node_max = np.full((ncap, 3), -np.finfo(np.float32).max, np.float32)
         node_left = np.zeros(ncap, np.int32)
@@ -387,6 +395,7 @@ class SceneBuilder:
             uvs[vo:vo + V] = m["uvs"]
             idx[io:io + I] = m["bvh"].indices  # BVH-reordered index buffer
             trimat[io // 3:(io + I) // 3] = m["tri_material"][m["bvh"].tri_order]
+            tridraw[io // 3:(io + I) // 3] = d
             node_min[no:no + N] = m["bvh"].node_min
             node_max[no:no + N] = m["bvh"].node_max
             node_left[no:no + N] = m["bvh"].node_left
@@ -401,6 +410,7 @@ class SceneBuilder:
             vertices=jnp.asarray(verts), normals=jnp.asarray(norms),
             uvs=jnp.asarray(uvs), indices=jnp.asarray(idx),
             tri_material=jnp.asarray(trimat),
+            tri_draw=jnp.asarray(tridraw),
             bvh_min=jnp.asarray(node_min), bvh_max=jnp.asarray(node_max),
             bvh_left=jnp.asarray(node_left), bvh_count=jnp.asarray(node_count),
             bvh_escape=jnp.asarray(node_escape),
