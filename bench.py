@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--bounces", type=int, default=4)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--forward-only", action="store_true")
-    ap.add_argument("--renderer", default="auto", choices=["auto", "golden", "wavefront"],
+    ap.add_argument("--renderer", default="auto",
+                    choices=["auto", "golden", "wavefront", "pallas"],
                     help="render path to benchmark")
     ap.add_argument("--scene", default="cornell",
                     choices=["cornell", "bunny", "default", "triangle", "bsdf"],
@@ -57,7 +58,12 @@ def main():
         sky = "black"
     elif args.scene == "bunny":
         from wc_path_tracer_tpu.models.procedural import bunny_like_scene
-        scene, cam = bunny_like_scene(args.subdiv)
+        # the pallas packet kernel needs sub-BLAS draws within its SMEM budget
+        blas = None
+        if args.renderer == "pallas":
+            from wc_path_tracer_tpu.render.dispatch import PALLAS_MAX_TRIS
+            blas = PALLAS_MAX_TRIS
+        scene, cam = bunny_like_scene(args.subdiv, max_blas_tris=blas)
         sky = "gradient"
     elif args.scene == "triangle":
         scene, cam = builtin.single_triangle_scene()

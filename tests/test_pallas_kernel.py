@@ -1,8 +1,10 @@
 """Pallas packet-BVH traversal kernel tests (interpret mode on CPU).
 
-On real TPU the kernel compiles via Mosaic and agrees 100% with the XLA
-per-lane walk (verified on hardware; see BASELINE.md) — these tests pin the
-semantics via the interpreter so CI without a TPU still covers the kernel.
+On real TPU the kernel compiles via Mosaic and agrees exactly with the XLA
+per-lane walk — hardware parity + throughput recorded in BASELINE.md
+("Traversal-backend decision", round-2 rows; 2000-tri soup, 8192 rays, all
+hits/offsets equal).  These tests pin the same semantics via the interpreter
+so CI without a TPU still covers the kernel.
 """
 
 import numpy as np
@@ -91,3 +93,68 @@ def test_ray_count_must_be_packet_multiple():
     with pytest.raises(ValueError, match="multiple"):
         packet_bvh_intersect(o, d, jnp.full((100,), KINF),
                              mesh_dict(scene.mesh), interpret=True)
+
+
+def test_intersect_scene_pallas_pads_ray_count():
+    # the user-facing wrapper pads any ray count up to the packet size
+    scene = random_soup_scene(n_tris=32, n_spheres=2, seed=5)
+    o, d = random_rays(100, 11)
+    cfg = RenderConfig(width=10, height=10)
+    ra = wavefront.intersect_scene_pallas(scene, o, d, cfg, interpret=True)
+    rb = golden.intersect_scene_brute(scene, o, d, cfg)
+    np.testing.assert_array_equal(np.asarray(ra.hit), np.asarray(rb.hit))
+    hit = np.asarray(rb.hit)
+    np.testing.assert_allclose(np.asarray(ra.t)[hit], np.asarray(rb.t)[hit],
+                               rtol=1e-5)
+
+
+def test_chunked_intersect_matches_unchunked():
+    # large-bank path: force tiny chunks and check hits agree with brute
+    from wc_path_tracer_tpu.kernels.traversal import smem_chunks
+    from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+    scene, _ = bunny_like_scene(2, max_blas_tris=64)  # 320 tris -> 5+ draws
+    mesh = scene.mesh
+    assert int(mesh.draw_count) >= 5
+    chunks = smem_chunks(mesh, 128)
+    assert chunks is not None and len(chunks) >= 2
+    o, d = random_rays(1024, 13)
+    o = o * 0.5  # keep origins near the unit mesh
+    cfg = RenderConfig(width=8, height=8)
+    ra = wavefront.intersect_scene_pallas(scene, o, d, cfg, interpret=True,
+                                          chunks=chunks)
+    rb = golden.intersect_scene_brute(scene, o, d, cfg)
+    np.testing.assert_array_equal(np.asarray(ra.hit), np.asarray(rb.hit))
+    hit = np.asarray(rb.hit)
+    np.testing.assert_allclose(np.asarray(ra.t)[hit], np.asarray(rb.t)[hit],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ra.material)[hit],
+                                  np.asarray(rb.material)[hit])
+
+
+def test_split_mesh_partition_is_exact():
+    # every original triangle appears exactly once across chunks, geometry
+    # preserved under the per-chunk vertex compaction
+    from wc_path_tracer_tpu.scene.bvh import split_mesh
+    from wc_path_tracer_tpu.models.procedural import bumpy_sphere
+    v, idx = bumpy_sphere(2)
+    chunks = split_mesh(v, idx, 50)
+    seen = np.concatenate([ids for _, _, ids in chunks])
+    assert sorted(seen.tolist()) == list(range(len(idx) // 3))
+    for sub_v, sub_i, ids in chunks:
+        assert len(sub_i) // 3 <= 50
+        np.testing.assert_array_equal(
+            sub_v[sub_i.reshape(-1, 3)], v[idx.reshape(-1, 3)[ids]])
+
+
+def test_render_frame_pallas_matches_bvh_render():
+    # the full product path (dispatch name "pallas"): pixel-identical to the
+    # XLA BVH walk render of the same scene/seed
+    scene = random_soup_scene(n_tris=48, n_spheres=2, seed=6)
+    from wc_path_tracer_tpu.scene.camera import Camera, camera_matrices
+    cam = Camera.create(position=(0.0, 0.0, 3.0))
+    cfg = RenderConfig(width=32, height=32, samples=1, max_bounces=1)
+    mats = camera_matrices(cam, 1.0)
+    img_p = wavefront.render_frame_pallas(scene, mats, cfg, 0)
+    img_b = wavefront.render_frame(scene, mats, cfg, 0)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_b),
+                               atol=1e-6)

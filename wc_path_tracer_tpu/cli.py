@@ -33,7 +33,7 @@ def _add_render_args(p):
     p.add_argument("--true-dielectric", action="store_true",
                    help="fix reference quirk 3: glass renders as dielectric")
     p.add_argument("--renderer", default="auto",
-                   choices=["auto", "golden", "wavefront"])
+                   choices=["auto", "golden", "wavefront", "pallas"])
     p.add_argument("--bloom", action="store_true",
                    help="bloom post pass (ref ships bloom.comp but never "
                         "dispatches it)")

@@ -21,12 +21,20 @@ single scalar stack in SMEM.  The packet walks the tree once:
 
 Coherent packets (primary rays from a pixel tile, NEE shadow rays toward a
 small light) visit near-minimal node sets; incoherent bounce packets visit
-the union, which is why render/wavefront.py's XLA per-lane walk remains the
-fallback for deep-bounce wavefronts — dispatch picks per workload.
+the union.  **Measured on TPU v5e (BASELINE.md round-2 rows): the XLA
+per-lane walk in render/wavefront.py beats this kernel 1.7x on coherent
+primaries and ~2,000x on large incoherent wavefronts**, so dispatch "auto"
+uses the XLA walk; this kernel is the opt-in `--renderer pallas` backend.
+A per-lane walk inside Pallas would need per-lane gathers from node tables,
+which this Mosaic version cannot express (tpu.dynamic_gather is
+single-register: 128-lane tables only).
 
-The kernel's whole scene (BVH nodes + indices + vertices) lives in VMEM:
-up to ~100k triangles fit the 16MB budget; larger scenes would tile nodes
-via double-buffered DMA (pallas_guide: Async DMA pattern).
+The kernel's scene tables ride scalar prefetch (SMEM).  Banks larger than
+the SMEM budget run CHUNKED (packet_bvh_intersect_chunked): the host splits
+big meshes into spatial sub-BLAS draws (scene/bvh.py split_mesh,
+SceneBuilder.add_mesh(max_blas_tris=...)), smem_chunks groups draws into
+static table slices, and the kernel runs once per chunk with the per-ray
+closest t carried across calls for cross-chunk pruning.
 
 Entirely a forward/discrete search — gradients flow through the
 differentiable re-shade in wavefront.intersect_scene_* (detached argmin),
@@ -49,6 +57,7 @@ KINF = np.float32(3.402823466e38)
 
 PACKET_ROWS = 8          # sublanes
 LANES = 128              # lanes; packet = 8*128 = 1024 rays
+PACKET_SIZE = PACKET_ROWS * LANES
 STACK_DEPTH = 64         # >= tree depth cap (32) + slack
 
 
@@ -198,6 +207,86 @@ def _traversal_kernel(max_leaf_tris: int,
         return 0
 
     jax.lax.fori_loop(0, n_draws, one_draw, 0)
+
+
+def smem_chunks(mesh, max_tris: int):
+    """Host-side: group the bank's draws into contiguous chunks of at most
+    ``max_tris`` triangles, so each chunk's tables fit the packet kernel's
+    SMEM budget.
+
+    Call OUTSIDE jit with a concrete MeshBank (reads offsets to host).
+    Returns a tuple of static-int tuples
+    ``(draw_lo, draw_hi, node_lo, node_hi, index_lo, index_hi, vert_lo,
+    vert_hi)`` — or None when the whole bank already fits in one call.
+    Raises if any single draw exceeds ``max_tris`` (split it at build time
+    with SceneBuilder.add_mesh(max_blas_tris=...)).
+    """
+    nd = int(mesh.draw_count)
+    total_tris = int(mesh.indices.shape[0]) // 3
+    if total_tris <= max_tris:
+        return None
+    dio = np.asarray(mesh.draw_index_offset)[:nd]
+    dic = np.asarray(mesh.draw_index_count)[:nd]
+    dno = np.asarray(mesh.draw_node_offset)[:nd]
+    dvo = np.asarray(mesh.draw_vertex_offset)[:nd]
+    # per-draw extents end where the next draw begins; the last draw's
+    # extent runs to capacity (trailing padding is inert: padded nodes carry
+    # inverted-empty boxes and are never referenced by any tree)
+    node_end = np.append(dno[1:], mesh.bvh_min.shape[0])
+    vert_end = np.append(dvo[1:], mesh.vertices.shape[0])
+    index_end = dio + dic
+
+    chunks = []
+    d = 0
+    while d < nd:
+        tris = 0
+        d0 = d
+        while d < nd and tris + int(dic[d]) // 3 <= max_tris:
+            tris += int(dic[d]) // 3
+            d += 1
+        if d == d0:
+            raise ValueError(
+                f"draw {d} has {int(dic[d]) // 3} triangles > the packet "
+                f"kernel budget of {max_tris}; rebuild the scene with "
+                f"SceneBuilder.add_mesh(max_blas_tris={max_tris})")
+        last = d - 1
+        chunks.append((d0, d, int(dno[d0]), int(node_end[last]),
+                       int(dio[d0]), int(index_end[last]),
+                       int(dvo[d0]), int(vert_end[last])))
+    return tuple(chunks)
+
+
+def packet_bvh_intersect_chunked(origin, direction, t_init, mesh_arrays,
+                                 chunks, max_leaf_tris: int = 2,
+                                 interpret: bool = False):
+    """Closest hit over a bank too large for one SMEM-resident call.
+
+    Runs the packet kernel once per chunk (static table slices, offsets
+    rebased to chunk-local), carrying the per-ray closest t forward so later
+    chunks prune against hits from earlier ones — the same t-max pruning the
+    reference applies across its draw-command loop (pathTracer.comp:152,162).
+    """
+    m = mesh_arrays
+    t_best = t_init
+    best_off = jnp.full(origin.shape[0], -1, jnp.int32)
+    for (dlo, dhi, nlo, nhi, ilo, ihi, vlo, vhi) in chunks:
+        sub = dict(
+            vertices=m["vertices"][vlo:vhi],
+            bvh_min=m["bvh_min"][nlo:nhi], bvh_max=m["bvh_max"][nlo:nhi],
+            bvh_left=m["bvh_left"][nlo:nhi], bvh_count=m["bvh_count"][nlo:nhi],
+            indices=m["indices"][ilo:ihi],
+            draw_node_offset=m["draw_node_offset"][dlo:dhi] - nlo,
+            draw_index_offset=m["draw_index_offset"][dlo:dhi] - ilo,
+            draw_vertex_offset=m["draw_vertex_offset"][dlo:dhi] - vlo,
+            draw_count=jnp.clip(m["draw_count"] - dlo, 0, dhi - dlo),
+        )
+        tc, oc = packet_bvh_intersect(origin, direction, t_best, sub,
+                                      max_leaf_tris=max_leaf_tris,
+                                      interpret=interpret)
+        upd = oc >= 0  # kernel reports only hits beating the carried t
+        t_best = jnp.where(upd, tc, t_best)
+        best_off = jnp.where(upd, oc + I32(ilo), best_off)
+    return t_best, best_off
 
 
 @functools.partial(jax.jit, static_argnames=("max_leaf_tris", "interpret"))

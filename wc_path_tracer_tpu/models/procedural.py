@@ -64,8 +64,12 @@ def bumpy_sphere(subdivisions: int = 4, radius: float = 1.0,
     return (v * (radius * r[:, None])).astype(np.float32), idx
 
 
-def bunny_like_scene(subdivisions: int = 5):
-    """BASELINE config (c) stand-in: dense mesh + ground, gradient sky."""
+def bunny_like_scene(subdivisions: int = 5, max_blas_tris=None):
+    """BASELINE config (c) stand-in: dense mesh + ground, gradient sky.
+
+    ``max_blas_tris``: spatially split the mesh into sub-BLAS draws of at
+    most that many triangles (needed by the SMEM-budgeted Pallas kernel for
+    subdivisions >= 5)."""
     from wc_path_tracer_tpu.scene.camera import Camera
     from wc_path_tracer_tpu.scene.types import (
         MATERIAL_LAMBERTIAN, MATERIAL_METAL, SceneBuilder)
@@ -74,7 +78,7 @@ def bunny_like_scene(subdivisions: int = 5):
     ground = b.add_material(MATERIAL_METAL, albedo=(0.6, 0.6, 0.6), roughness=0.9)
     v, idx = bumpy_sphere(subdivisions)
     v[:, 1] += 1.0
-    b.add_mesh(v, idx, tri_material=body)
+    b.add_mesh(v, idx, tri_material=body, max_blas_tris=max_blas_tris)
     b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
     cam = Camera.create(position=(0.0, 1.3, 3.2), yaw=-90.0, pitch=-5.0, fov=55.0)
     return b.build(), cam

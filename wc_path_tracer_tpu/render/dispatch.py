@@ -1,14 +1,29 @@
-"""Render-path dispatch: choose golden (brute force) vs wavefront (BVH).
+"""Render-path dispatch: choose the closest-hit backend per workload.
 
-"auto" picks brute force for small scenes — on TPU's SIMD vector units, a
-dense masked intersect-all-primitives sweep beats divergent per-lane BVH
-traversal until the triangle count crosses a few hundred — and the wavefront
-BVH path beyond that.
+Backends (all share golden.py's transport; only the closest-hit query
+differs):
+
+- ``golden``    — masked brute-force sweep over every primitive.  On TPU's
+  SIMD vector units a dense intersect-all sweep beats divergent per-lane
+  traversal until the triangle count crosses a few hundred.
+- ``wavefront`` — XLA per-lane BVH walk (stack or stackless escape-link);
+  scales to arbitrary scene sizes, handles incoherent bounce wavefronts.
+- ``pallas``    — Pallas packet-BVH kernel (kernels/traversal.py): one
+  shared SMEM stack per 1024-ray packet, scalar node loads broadcast to all
+  lanes.  Fastest for coherent packets on scenes whose tables fit SMEM
+  (<= PALLAS_MAX_TRIS triangles).
+- ``auto``      — picks by scene size: brute force below
+  BRUTE_FORCE_MAX_TRIS, the XLA BVH walk above.
+
+The crossover threshold was measured on TPU v5e (see BASELINE.md dispatch
+sweep): the brute-force sweep wins up to roughly a few hundred triangles,
+the BVH walk beyond.
 """
 
 from __future__ import annotations
 
 BRUTE_FORCE_MAX_TRIS = 256
+PALLAS_MAX_TRIS = 8192  # ~1MB SMEM budget for the packet kernel's tables
 
 
 def get_render_frame(name: str, scene, cfg):
@@ -16,13 +31,27 @@ def get_render_frame(name: str, scene, cfg):
 
     if name == "golden":
         return golden.render_frame
-    if name == "wavefront":
+    if name in ("wavefront", "pallas"):
         try:
             from wc_path_tracer_tpu.render import wavefront
         except ImportError as e:
             raise NotImplementedError(
-                "the wavefront BVH renderer is not available in this build; "
+                f"the {name} BVH renderer is not available in this build; "
                 "use --renderer golden") from e
+        if name == "pallas":
+            # chunk slicing is static per bank layout: compute it here from
+            # the concrete scene (raises if a single draw exceeds the SMEM
+            # budget — rebuild with add_mesh(max_blas_tris=...))
+            from wc_path_tracer_tpu.kernels.traversal import smem_chunks
+            chunks = smem_chunks(scene.mesh, PALLAS_MAX_TRIS)
+
+            def render_frame_pallas(scene, mats, cfg, frame_count):
+                intersect_fn = lambda s, o, d, c: \
+                    wavefront.intersect_scene_pallas(s, o, d, c, chunks=chunks)
+                from wc_path_tracer_tpu.render import golden
+                return golden.render_frame(scene, mats, cfg, frame_count,
+                                           intersect_fn=intersect_fn)
+            return render_frame_pallas
         return wavefront.render_frame
     # auto
     n_tris = int(scene.mesh.indices.shape[0]) // 3

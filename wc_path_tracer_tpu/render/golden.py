@@ -135,7 +135,11 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     sph_idx = jnp.argmin(t_sph, axis=-1)                     # first min wins ties
     t_s_ng = jnp.take_along_axis(t_sph, sph_idx[:, None], axis=-1)[:, 0]
 
-    tri = mesh.indices.reshape(-1, 3)                        # (T, 3)
+    # indices are draw-relative vertex ids (the reference's per-mesh buffers
+    # addressed via DrawCommand device pointers, pathTracer.comp:82-88);
+    # rebase to bank-global ids with each triangle's draw vertex offset
+    voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
+    tri = mesh.indices.reshape(-1, 3) + voff[:, None]        # (T, 3)
     verts_ng = sg(mesh.vertices)
     a_all = verts_ng[tri[:, 0]]
     b_all = verts_ng[tri[:, 1]]
@@ -253,7 +257,8 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     s_area = F32(4.0) * jnp.pi * sph.radius * sph.radius
     s_w = jnp.where(s_live & (s_lum > F32(0.0)), s_area * s_lum, F32(0.0))
 
-    tri = mesh.indices.reshape(-1, 3)
+    voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
+    tri = mesh.indices.reshape(-1, 3) + voff[:, None]  # bank-global vertex ids
     a = mesh.vertices[tri[:, 0]]
     b = mesh.vertices[tri[:, 1]]
     c = mesh.vertices[tri[:, 2]]

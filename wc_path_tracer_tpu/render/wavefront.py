@@ -246,15 +246,27 @@ def intersect_scene_bvh(scene: Scene, origin, direction, cfg: RenderConfig):
 
 
 def intersect_scene_pallas(scene: Scene, origin, direction, cfg: RenderConfig,
-                           interpret: bool = False):
+                           interpret: bool | None = None, chunks=None):
     """Closest-hit via the Pallas packet-BVH kernel (kernels/traversal.py).
 
-    Opt-in backend for *coherent* ray batches (primary rays, shadow rays)
-    whose scene tables fit the ~1MB SMEM budget (~8k triangles); requires a
-    ray count that is a multiple of 1024.  Same selection semantics and
-    differentiable re-shade as intersect_scene_bvh.
+    Production backend for *coherent* ray batches (primary rays, shadow rays)
+    whose scene tables fit the SMEM budget (~8k triangles per call).
+    Arbitrary ray counts are handled by replicating ray 0 up to the next
+    multiple of the 1024-lane packet size (replicated rays traverse the same
+    nodes the packet already visits, so padding costs ~nothing).  Banks past
+    the SMEM budget run chunked: ``chunks`` (from kernels.traversal
+    smem_chunks, computed host-side at dispatch time) selects static table
+    slices processed sequentially with the closest-t carried across calls.
+    Same selection semantics and differentiable re-shade as
+    intersect_scene_bvh.
     """
-    from wc_path_tracer_tpu.kernels.traversal import packet_bvh_intersect
+    from wc_path_tracer_tpu.kernels.traversal import (
+        PACKET_SIZE, packet_bvh_intersect, packet_bvh_intersect_chunked)
+
+    if interpret is None:
+        # Mosaic compiles only for TPU; on the CPU backend (tests, local
+        # dev) fall back to the Pallas interpreter automatically.
+        interpret = jax.default_backend() != "tpu"
 
     sph = scene.spheres
     mesh = scene.mesh
@@ -278,9 +290,22 @@ def intersect_scene_pallas(scene: Scene, origin, direction, cfg: RenderConfig,
              draw_vertex_offset=mesh.draw_vertex_offset,
              draw_count=mesh.draw_count)
     sg = jax.lax.stop_gradient
-    _, best_off = packet_bvh_intersect(
-        sg(origin), sg(direction), sg(t_s), m,
-        max_leaf_tris=mesh.max_leaf_tris, interpret=interpret)
+    R = origin.shape[0]
+    pad = (-R) % PACKET_SIZE
+    o_k, d_k, t_k = sg(origin), sg(direction), sg(t_s)
+    if pad:
+        o_k = jnp.concatenate([o_k, jnp.broadcast_to(o_k[:1], (pad, 3))])
+        d_k = jnp.concatenate([d_k, jnp.broadcast_to(d_k[:1], (pad, 3))])
+        t_k = jnp.concatenate([t_k, jnp.broadcast_to(t_k[:1], (pad,))])
+    if chunks is not None:
+        _, best_off = packet_bvh_intersect_chunked(
+            o_k, d_k, t_k, m, chunks,
+            max_leaf_tris=mesh.max_leaf_tris, interpret=interpret)
+    else:
+        _, best_off = packet_bvh_intersect(
+            o_k, d_k, t_k, m,
+            max_leaf_tris=mesh.max_leaf_tris, interpret=interpret)
+    best_off = best_off[:R]
     return _reshade(scene, origin, direction, cfg, t_s, sph_idx, best_off)
 
 
@@ -338,3 +363,33 @@ def render_rows(scene, mats, cfg, frame_count, y0, num_rows):
 def render_frame(scene, mats, cfg, frame_count):
     return golden.render_frame(scene, mats, cfg, frame_count,
                                intersect_fn=intersect_scene_bvh)
+
+
+def _pallas_intersect_fn(scene):
+    """intersect_fn specialized to this bank's layout: banks past the SMEM
+    budget get host-computed static chunk slices (kernels.traversal)."""
+    from wc_path_tracer_tpu.kernels.traversal import smem_chunks
+    from wc_path_tracer_tpu.render.dispatch import PALLAS_MAX_TRIS
+    chunks = smem_chunks(scene.mesh, PALLAS_MAX_TRIS)
+
+    def fn(scene, origin, direction, cfg):
+        return intersect_scene_pallas(scene, origin, direction, cfg,
+                                      chunks=chunks)
+    return fn
+
+
+def render_rows_pallas(scene, mats, cfg, frame_count, y0, num_rows):
+    return golden.render_rows(scene, mats, cfg, frame_count, y0, num_rows,
+                              intersect_fn=_pallas_intersect_fn(scene))
+
+
+def render_frame_pallas(scene, mats, cfg, frame_count):
+    """Full-frame render with the Pallas packet-BVH kernel as the closest-hit
+    backend (the load-bearing Pallas path; dispatch name "pallas").
+
+    NOTE: chunk slicing is derived from the *concrete* scene's bank layout at
+    call time (outside jit this reads offsets to host once); when jitting,
+    build the fn once per bank layout via functools.partial or jit the caller.
+    """
+    return golden.render_frame(scene, mats, cfg, frame_count,
+                               intersect_fn=_pallas_intersect_fn(scene))

@@ -164,3 +164,42 @@ def build_bvh(vertices: np.ndarray, indices: np.ndarray,
         indices=indices.astype(np.int32),
         tri_order=tri_order.astype(np.int32),
     )
+
+
+def split_mesh(vertices: np.ndarray, indices: np.ndarray, max_tris: int):
+    """Spatially partition a triangle mesh into chunks of <= ``max_tris``.
+
+    Recursive longest-axis median split on triangle centroids — the same
+    partition rule as the BVH builder's robust mode, applied above the tree:
+    each chunk becomes its own draw command with its own (sub-)BVH, so
+    SMEM-budgeted traversal kernels can process one chunk at a time while
+    the chunks stay spatially tight (cheap to cull against each other).
+
+    Returns a list of (sub_vertices, sub_indices, tri_ids) with vertices
+    compacted per chunk; ``tri_ids`` maps each chunk triangle back to its
+    original triangle id (for per-triangle attributes).
+    """
+    vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+    indices = np.asarray(indices, np.int64).reshape(-1)
+    tris = indices.reshape(-1, 3)
+    cent = vertices[tris].mean(axis=1)  # (T, 3)
+
+    out = []
+
+    def rec(tri_ids: np.ndarray):
+        if len(tri_ids) <= max_tris:
+            sub = tris[tri_ids]
+            used, inv = np.unique(sub.reshape(-1), return_inverse=True)
+            out.append((vertices[used].copy(),
+                        inv.astype(np.int32).reshape(-1),
+                        tri_ids.astype(np.int32)))
+            return
+        c = cent[tri_ids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(order) // 2
+        rec(tri_ids[order[:half]])
+        rec(tri_ids[order[half:]])
+
+    rec(np.arange(len(tris)))
+    return out

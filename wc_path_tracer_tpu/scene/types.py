@@ -268,15 +268,37 @@ class SceneBuilder:
         return len(self.spheres) - 1
 
     def add_mesh(self, vertices, indices, normals=None, uvs=None,
-                 tri_material=0, bvh=None, robust_bvh=True) -> int:
+                 tri_material=0, bvh=None, robust_bvh=True,
+                 max_blas_tris=None) -> int:
         """Add a triangle mesh. ``bvh`` is a scene.bvh.BVH (built if None).
 
         ``robust_bvh=True`` (default) bounds leaves at 2 triangles so the
         vectorized traversal can statically unroll leaf tests; pass False for
         the reference builder's exact tree shape (brute-force path only).
+
+        ``max_blas_tris``: if set, spatially split the mesh into multiple
+        draw commands of at most that many triangles each (scene/bvh.py
+        split_mesh) — required for SMEM-budgeted traversal kernels on large
+        meshes; all renderers handle multi-draw banks identically.
+        Returns the draw id of the first chunk.
         """
         vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
         indices = np.asarray(indices, np.int32).reshape(-1)
+        ntris = len(indices) // 3
+        if (max_blas_tris is not None and ntris > max_blas_tris
+                and bvh is None):
+            from wc_path_tracer_tpu.scene.bvh import split_mesh
+            tri_material = np.broadcast_to(
+                np.asarray(tri_material, np.int32), (ntris,))
+            first = len(self.meshes)
+            for sub_v, sub_i, tri_ids in split_mesh(
+                    vertices, indices, max_blas_tris):
+                # chunk vertices are compacted, so per-chunk normals/uvs
+                # would need the same remap; loaders that split pass none
+                self.add_mesh(sub_v, sub_i,
+                              tri_material=tri_material[tri_ids],
+                              robust_bvh=robust_bvh)
+            return first
         if bvh is None:
             # native C++ builder when available (bit-identical to the NumPy
             # oracle; tests/test_native.py), NumPy fallback inside
