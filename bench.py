@@ -11,6 +11,16 @@ Rays counted = path segments launched = W*H*samples*(max_bounces+1)
 (the reference dispatches every pixel-thread through every bounce segment;
 SURVEY §3.3).  fwd+bwd = value_and_grad of an L2 image loss w.r.t. material
 parameters, matching BASELINE.json's metric definition.
+
+TIMING METHODOLOGY (round 2, load-bearing): on this image's remote-tunneled
+"axon" TPU backend, ``jax.block_until_ready`` returns WITHOUT waiting for
+device completion, which silently inflated every earlier wall-clock number
+by up to ~5000x (BASELINE.md "round-2 re-baseline").  The only trustworthy
+measurement is a device-to-host readback of a value that data-depends on
+the full computation.  This harness therefore runs ``--iters`` frames
+INSIDE one jitted ``lax.scan`` (one dispatch, so per-call tunnel overhead
+~40ms amortizes away), reduces each frame to a scalar that depends on every
+output, and times ``float()`` of the result.
 """
 
 from __future__ import annotations
@@ -41,6 +51,9 @@ def main():
                     help="next-event estimation (config b)")
     ap.add_argument("--rr", action="store_true",
                     help="Russian roulette termination (config d)")
+    ap.add_argument("--compact", action="store_true",
+                    help="alive-ray stream compaction between bounces")
+    ap.add_argument("--compact-blocks", type=int, default=16)
     ap.add_argument("--subdiv", type=int, default=5,
                     help="bunny mesh subdivision level (20*4^n tris)")
     args = ap.parse_args()
@@ -76,7 +89,9 @@ def main():
         sky = "gradient"
     cfg = RenderConfig(width=size, height=size, samples=args.samples,
                        max_bounces=args.bounces, sky=sky,
-                       use_nee=args.nee, use_rr=args.rr)
+                       use_nee=args.nee, use_rr=args.rr,
+                       compact=args.compact,
+                       compact_blocks=args.compact_blocks)
     mats = camera_matrices(cam, 1.0)
 
     from wc_path_tracer_tpu.render import dispatch
@@ -90,9 +105,9 @@ def main():
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
     if args.forward_only:
-        @jax.jit
-        def step(scene, mats, frame, target):
-            return render_frame(scene, mats, cfg, frame)
+        def frame_scalar(scene, mats, frame, target):
+            # scalar depending on every pixel: forces real device completion
+            return jnp.sum(render_frame(scene, mats, cfg, frame))
     else:
         trainable = ("albedo", "emission", "emission_strength", "roughness")
 
@@ -102,30 +117,39 @@ def main():
             img = render_frame(s, mats, cfg, frame)
             return jnp.mean((img - target) ** 2)
 
-        @jax.jit
-        def step(scene, mats, frame, target):
+        def frame_scalar(scene, mats, frame, target):
             params = {k: getattr(scene.materials, k) for k in trainable}
-            return jax.value_and_grad(loss_fn)(params, scene, mats, frame, target)
+            loss, grads = jax.value_and_grad(loss_fn)(params, scene, mats,
+                                                      frame, target)
+            # fold every gradient in so nothing dead-code-eliminates
+            return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+
+    K = max(args.iters, 1)
+
+    @jax.jit
+    def run(scene, mats, target):
+        # all K frames inside ONE dispatch; carry the accumulator through
+        # lax.scan so frames serialize on device and none can be elided
+        def body(acc, frame):
+            return acc + frame_scalar(scene, mats, frame, target), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(1, K + 1, dtype=jnp.uint32))
+        return acc
 
     print(f"bench: {size}x{size}, samples={cfg.samples}, "
           f"bounces={cfg.max_bounces}, renderer={args.renderer}, "
-          f"fwd_only={args.forward_only}, backend={jax.default_backend()}",
+          f"fwd_only={args.forward_only}, iters(in-jit)={K}, "
+          f"backend={jax.default_backend()}",
           file=sys.stderr)
 
-    # compile
+    # compile + warm up (float() is the only honest sync on this backend)
     t0 = time.perf_counter()
-    out = step(scene, mats, jnp.uint32(0), target)
-    jax.block_until_ready(out)
-    print(f"bench: compile+first step {time.perf_counter() - t0:.1f}s",
+    float(run(scene, mats, target))
+    print(f"bench: compile+first run {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    times = []
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        out = step(scene, mats, jnp.uint32(i + 1), target)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    best = min(float_timed(run, scene, mats, target) for _ in range(2))
+    dt = best / K
 
     segments = cfg.width * cfg.height * cfg.samples * (cfg.max_bounces + 1)
     mrays = segments / dt / 1e6
@@ -142,6 +166,14 @@ def main():
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
     }))
+
+
+def float_timed(fn, *args):
+    import time
+    t0 = time.perf_counter()
+    v = float(fn(*args))
+    assert v == v, "NaN in benched computation"
+    return time.perf_counter() - t0
 
 
 def _read_recorded_baseline(mode: str, size: int, scene: str = "cornell"):

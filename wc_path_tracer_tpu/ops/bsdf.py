@@ -52,11 +52,14 @@ def ggx_sample_half(normal, rough, u1, u2):
     theta_h = atan(alpha * sqrt(u1 / (1-u1))), phi = 2 pi u2.
     Returns the world-space half vector.
     """
+    from wc_path_tracer_tpu.ops.intersect import safe_sqrt
     alpha = jnp.maximum(rough * rough, F32(1e-4))
     u1 = jnp.clip(u1, F32(0.0), F32(1.0 - 1e-7))
     tan2 = (alpha * alpha) * u1 / (F32(1.0) - u1)
     cos_h = F32(1.0) / jnp.sqrt(F32(1.0) + tan2)
-    sin_h = jnp.sqrt(jnp.maximum(F32(1.0) - cos_h * cos_h, F32(0.0)))
+    # safe_sqrt: masked lanes draw u1=0 -> sin_h=sqrt(0), whose inf gradient
+    # would NaN-poison every roughness gradient through the unselected branch
+    sin_h = safe_sqrt(F32(1.0) - cos_h * cos_h)
     phi = F32(2.0) * PI * u2
     t, b = orthonormal_basis(normal)
     return (t * (sin_h * jnp.cos(phi))[..., None]

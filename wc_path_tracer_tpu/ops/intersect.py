@@ -24,6 +24,20 @@ F32 = np.float32  # np scalar ctor: jnp.float32(x) would create device consts
 KINFINITY = np.float32(3.402823466e38)  # constants.glsl kInfinity
 
 
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) with a finite (zero) gradient at and below x == 0.
+
+    ``jnp.sqrt(jnp.maximum(x, 0))`` has derivative inf at x == 0, and the
+    chain rule turns inf * 0 into NaN for every lane sitting at or below the
+    clamp — even when the result is masked out by jnp.where downstream (the
+    transpose sends a zero cotangent, and 0 * inf = NaN).  The double-where
+    pattern keeps the forward value bit-identical while pinning the gradient
+    of the clamped region to 0.
+    """
+    pos = x > F32(0.0)
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, F32(1.0))), F32(0.0))
+
+
 def ray_box(origin, inv_direction, bmin, bmax):
     """Slab test. Returns (t0, t1) entry/exit distances.
 
@@ -52,7 +66,7 @@ def ray_sphere(origin, direction, center, radius):
     b = jnp.sum(oc * direction, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = b * b - c
-    s = jnp.sqrt(jnp.maximum(disc, F32(0.0)))
+    s = safe_sqrt(disc)  # missed lanes otherwise NaN-poison reverse mode
     near = -b - s
     far = -b + s
     miss = disc < F32(0.0)
@@ -101,13 +115,23 @@ def refract(d, n, eta):
         eta = eta[..., None]
     k = F32(1.0) - eta * eta * (F32(1.0) - cos_i * cos_i)
     tir = k < F32(0.0)
-    out = eta * d - (eta * cos_i + jnp.sqrt(jnp.maximum(k, F32(0.0)))) * n
+    out = eta * d - (eta * cos_i + safe_sqrt(k)) * n
     return jnp.where(tir, F32(0.0), out), jnp.squeeze(tir, -1)
 
 
 def normalize(v, eps=None):
-    """GLSL normalize (no epsilon guard, matching the reference)."""
-    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    """GLSL normalize (no epsilon guard, matching the reference).
+
+    With ``eps``, the guard is applied to the *squared* norm so zero vectors
+    keep a finite (zero) gradient — max(sqrt(0), eps) would still route an
+    inf sqrt-gradient into reverse mode.  Forward value is identical
+    (monotone composition)."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
     if eps is not None:
-        n = jnp.maximum(n, eps)
+        # eps^2 can underflow f32 (1e-20^2 -> 0); floor at the smallest
+        # normal so the guard survives and zero vectors normalize to zero
+        guard = F32(max(float(eps) ** 2, 1.1754944e-38))
+        n = jnp.sqrt(jnp.maximum(n2, guard))
+    else:
+        n = jnp.sqrt(n2)
     return v / n

@@ -196,6 +196,45 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
                      material=material.astype(jnp.int32))
 
 
+def occluded_brute(scene: Scene, origin, direction, max_dist, cfg: RenderConfig):
+    """Boolean any-hit shadow query: does any primitive block ``origin +
+    t*direction`` for t in (0, max_dist)?
+
+    Visibility is binary (no gradient), so unlike the closest-hit query this
+    runs entirely under stop_gradient with no differentiable re-shade and no
+    normal/material reconstruction — about half the cost of a full
+    intersect for NEE shadow rays.  Selection rules match
+    intersect_scene_brute exactly (near-root-only spheres per quirk 1, live
+    masks), so ``occluded == (closest_hit.t < max_dist)`` bit-for-bit.
+    """
+    sg = jax.lax.stop_gradient
+    origin, direction = sg(origin), sg(direction)
+    max_dist = sg(max_dist)
+    sph = scene.spheres
+    mesh = scene.mesh
+
+    near, far = ix.ray_sphere(origin[:, None, :], direction[:, None, :],
+                              sg(sph.position)[None], sg(sph.radius)[None])
+    s_live = (jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count)[None, :]
+    if cfg.sphere_near_root_only:
+        t_cand = near
+    else:
+        t_cand = jnp.where(near > F32(0.0), near, far)
+    s_occ = jnp.any(s_live & (t_cand > F32(0.0))
+                    & (t_cand < max_dist[:, None]), axis=-1)
+
+    voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
+    tri = mesh.indices.reshape(-1, 3) + voff[:, None]
+    verts = sg(mesh.vertices)
+    t_t, _, _, t_hit = ix.ray_triangle(origin[:, None, :], direction[:, None, :],
+                                       verts[tri[:, 0]][None],
+                                       verts[tri[:, 1]][None],
+                                       verts[tri[:, 2]][None])
+    t_live = _live_triangle_mask(scene)[None, :]
+    t_occ = jnp.any(t_hit & t_live & (t_t < max_dist[:, None]), axis=-1)
+    return s_occ | t_occ
+
+
 def _fresnel_reflectance(in_dir, normal, ior_a, ior_b):
     """Unpolarized Fresnel, exact port of CalculateReflectance
     (pathTracer.comp:213-234)."""
@@ -203,7 +242,7 @@ def _fresnel_reflectance(in_dir, normal, ior_a, ior_b):
     cos_in = -jnp.sum(in_dir * normal, axis=-1)
     sin_sqr_refr = ratio * ratio * (F32(1.0) - cos_in * cos_in)
     tir = sin_sqr_refr >= F32(1.0)
-    cos_refr = jnp.sqrt(jnp.maximum(F32(1.0) - sin_sqr_refr, F32(0.0)))
+    cos_refr = ix.safe_sqrt(F32(1.0) - sin_sqr_refr)
     denom_perp = ior_a * cos_in + ior_b * cos_refr
     denom_par = ior_b * cos_in + ior_a * cos_refr
     degenerate = jnp.minimum(denom_perp, denom_par) < F32(1e-8)
@@ -286,7 +325,7 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
 
     # sphere: uniform point on the surface
     z = F32(1.0) - F32(2.0) * u1
-    r_xy = jnp.sqrt(jnp.maximum(F32(1.0) - z * z, F32(0.0)))
+    r_xy = ix.safe_sqrt(F32(1.0) - z * z)
     phi = F32(2.0) * jnp.pi * u2
     n_sph = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], -1)
     p_sph = sph.position[s_idx] + sph.radius[s_idx][:, None] * n_sph
@@ -320,8 +359,15 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
                           jnp.abs(cos_light_raw))
 
     shadow_o = rec.p + rec.normal * BIAS
-    shadow = intersect_fn(scene, shadow_o, wi, cfg)
-    visible = (~shadow.hit) | (shadow.t >= dist - F32(1e-3) * safe_dist)
+    thresh = dist - F32(1e-3) * safe_dist
+    # forward-only any-hit query (registered per closest-hit backend via the
+    # occlusion_fn attribute; falls back to the full closest-hit query)
+    occ_fn = getattr(intersect_fn, "occlusion_fn", None)
+    if occ_fn is not None:
+        visible = ~occ_fn(scene, shadow_o, wi, thresh, cfg)
+    else:
+        shadow = intersect_fn(scene, shadow_o, wi, cfg)
+        visible = (~shadow.hit) | (shadow.t >= thresh)
 
     # pdf_area = (w_pick / total) / area_pick = lum_pick / total
     lum_pick = jnp.where(is_sphere_light, s_lum[s_idx], t_lum[t_idx])
@@ -338,28 +384,186 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
 def _gather_material(materials, mid):
     """Per-ray material fields (the reference reads mbp.materials[id], :251).
 
-    Float fields go through one-hot matmuls so reverse mode produces MXU
-    matmuls instead of colliding scatter-adds (see onehot_gather).
+    ONE one-hot matmul against the (M, 14) column-stacked material table —
+    reverse mode transposes it to a single MXU matmul instead of colliding
+    scatter-adds (see onehot_gather), and forward mode issues one gather's
+    worth of work for all fields including the int type id (exact in f32 for
+    ids 0..3).
     """
     M = materials.capacity
     oh = (mid[:, None] == jnp.arange(M, dtype=mid.dtype)[None, :]).astype(F32)
 
-    def g(table):
-        # HIGHEST precision: default bf16 MXU multiplies would round the
-        # table values; one-hot selection must return them exactly
-        return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+    stacked = jnp.concatenate([
+        materials.albedo,                      # 0:3
+        materials.emission,                    # 3:6
+        materials.emission_strength[:, None],  # 6
+        materials.roughness[:, None],          # 7
+        materials.metallic[:, None],           # 8
+        materials.absorption,                  # 9:12
+        materials.absorption_strength[:, None],  # 12
+        materials.ior[:, None],                # 13
+        materials.mtype.astype(F32)[:, None],  # 14
+    ], axis=1)
+    # HIGHEST precision: default bf16 MXU multiplies would round the table
+    # values; one-hot selection must return them exactly
+    g = jnp.matmul(oh, stacked, precision=jax.lax.Precision.HIGHEST)
 
     return dict(
-        mtype=materials.mtype[mid],
-        albedo=g(materials.albedo),
-        emission=g(materials.emission),
-        emission_strength=g(materials.emission_strength),
-        roughness=g(materials.roughness),
-        metallic=g(materials.metallic),
-        absorption=g(materials.absorption),
-        absorption_strength=g(materials.absorption_strength),
-        ior=g(materials.ior),
+        mtype=g[:, 14].astype(jnp.int32),
+        albedo=g[:, 0:3],
+        emission=g[:, 3:6],
+        emission_strength=g[:, 6],
+        roughness=g[:, 7],
+        metallic=g[:, 8],
+        absorption=g[:, 9:12],
+        absorption_strength=g[:, 12],
+        ior=g[:, 13],
     )
+
+
+def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
+    """One bounce segment of TraceRay (pathTracer.comp:241-284) over a lane
+    batch: closest-hit query, emission/NEE/sky accumulation, BSDF scatter,
+    RR termination.  Shared by the plain scan path and the compacted path
+    (same per-lane math -> bit-identical results either way)."""
+    from wc_path_tracer_tpu.ops import bsdf
+
+    o, d, total, trans, seed, alive, prev_nee, bounce_idx = carry
+    rec = intersect_fn(scene, o, d, cfg)
+
+    # miss -> sky * transmittance, path ends (pathTracer.comp:248-249)
+    miss = alive & ~rec.hit
+    total = total + jnp.where(miss[:, None], sky_color(d, cfg) * trans, F32(0.0))
+    live = alive & rec.hit
+
+    m = _gather_material(scene.materials, rec.material)
+
+    is_dielectric = m["mtype"] == MATERIAL_DIELECTRIC
+    is_metal = m["mtype"] == MATERIAL_METAL
+    is_lambert = m["mtype"] == MATERIAL_LAMBERTIAN
+    is_ggx = m["mtype"] == MATERIAL_GGX
+
+    # emission (:253). Under NEE, lanes whose previous bounce already
+    # accounted for direct light via a light-sample connection skip the
+    # BSDF-path emission hit (avoids double counting).
+    emit = live & ~prev_nee if cfg.use_nee else live
+    total = total + jnp.where(
+        emit[:, None],
+        m["emission"] * m["emission_strength"][:, None] * trans,
+        F32(0.0))
+
+    # --- NEE (extension): direct-light connection for Lambertian lanes;
+    # 3 masked draws ---
+    if cfg.use_nee:
+        nee_mask = live & is_lambert
+        direct, seed = sample_direct_light(scene, rec, seed, nee_mask,
+                                           intersect_fn, cfg)
+        total = total + jnp.where(
+            nee_mask[:, None],
+            direct * bsdf.lambert_brdf_over_pi(m["albedo"]) * trans,
+            F32(0.0))
+    else:
+        nee_mask = None
+
+    # --- dielectric pre-draw (:268-273). The short-circuit `||` skips the
+    # rand draw under TIR; mask accordingly so streams stay bit-exact.
+    eta_i = jnp.where(rec.front, F32(1.0), m["ior"])
+    eta_t = jnp.where(rec.front, m["ior"], F32(1.0))
+    reflect_prob = _fresnel_reflectance(d, rec.normal, eta_i, eta_t)
+    refr, tir = ix.refract(d, rec.normal, eta_i / eta_t)
+    u_refl, seed = rng.rand_masked(seed, live & is_dielectric & ~tir)
+
+    # --- GGX slot (extension): 2 masked draws for the half-vector ---
+    u_g1, seed = rng.rand_masked(seed, live & is_ggx)
+    u_g2, seed = rng.rand_masked(seed, live & is_ggx)
+
+    # --- shared 6-draw RandomDirection (metal :258, dielectric :275,
+    # lambert extension). Drawn for every live non-GGX lane, preserving
+    # the reference's per-thread stream for METAL/DIELECTRIC scenes.
+    rdir, seed = rng.random_direction(seed, live & ~is_ggx)
+
+    refl = ix.reflect(d, rec.normal)
+    rough = m["roughness"][:, None]
+
+    # METAL (:256-262)
+    d_metal = ix.normalize(refl + rough * rdir, eps=F32(1e-20))
+    o_metal = rec.p + rec.normal * BIAS
+
+    # DIELECTRIC (:263-280)
+    follow_reflect = tir | (u_refl <= reflect_prob)
+    base = jnp.where(follow_reflect[:, None], refl, refr)
+    d_diel = ix.normalize(base + rough * rdir, eps=F32(1e-20))
+    absorb = (~follow_reflect) & (~rec.front)
+    beer = jnp.exp(-m["absorption"] * m["absorption_strength"][:, None]
+                   * rec.t[:, None])
+    o_diel = rec.p + BIAS * rec.normal * jnp.sign(
+        jnp.sum(d_diel * rec.normal, axis=-1, keepdims=True))
+
+    # LAMBERTIAN extension: cosine-weighted via normal + unit sphere dir
+    d_lam = rec.normal + rdir
+    # guard the degenerate opposite-direction case (squared-norm guard:
+    # jnp.linalg.norm has an inf gradient at zero, see ix.safe_sqrt)
+    lam_len = jnp.sqrt(jnp.maximum(
+        jnp.sum(d_lam * d_lam, axis=-1, keepdims=True), F32(1e-12)))
+    d_lam = jnp.where(lam_len < F32(1e-6), rec.normal, d_lam / lam_len)
+    o_lam = rec.p + rec.normal * BIAS
+
+    # GGX extension: microfacet conductor lobe (ops/bsdf.py)
+    d_ggx, w_ggx, ggx_valid = bsdf.ggx_sample(
+        rec.normal, -d, m["albedo"], m["roughness"], m["metallic"],
+        u_g1, u_g2)
+    d_ggx = ix.normalize(d_ggx, eps=F32(1e-20))
+    o_ggx = rec.p + rec.normal * BIAS
+
+    new_d = jnp.where(is_dielectric[:, None], d_diel,
+                      jnp.where(is_lambert[:, None], d_lam,
+                                jnp.where(is_ggx[:, None], d_ggx, d_metal)))
+    new_o = jnp.where(is_dielectric[:, None], o_diel,
+                      jnp.where((is_lambert | is_ggx)[:, None], o_lam,
+                                o_metal))
+
+    tput = jnp.where((is_metal | is_lambert)[:, None],
+                     m["albedo"],
+                     jnp.where(is_ggx[:, None], w_ggx,
+                               jnp.where(absorb[:, None], beer, F32(1.0))))
+    trans = jnp.where(live[:, None], trans * tput, trans)
+    # GGX samples that dipped under the surface carry zero weight; kill
+    live = live & jnp.where(is_ggx, ggx_valid, True)
+
+    # --- Russian roulette (extension): 1 masked draw per eligible lane ---
+    if cfg.use_rr:
+        rr_mask = live & (bounce_idx >= cfg.rr_start_bounce)
+        p_survive = jnp.clip(jnp.max(trans, axis=-1), F32(0.05), F32(1.0))
+        u_rr, seed = rng.rand_masked(seed, rr_mask)
+        killed = rr_mask & (u_rr > p_survive)
+        live = live & ~killed
+        keep = rr_mask & ~killed
+        trans = jnp.where(keep[:, None], trans / p_survive[:, None], trans)
+
+    prev_nee = (nee_mask & live) if cfg.use_nee else prev_nee
+
+    o = jnp.where(live[:, None], new_o, o)
+    d = jnp.where(live[:, None], new_d, d)
+    return (o, d, total, trans, seed, live, prev_nee,
+            bounce_idx + np.int32(1))
+
+
+def _initial_carry(origin, direction, seed):
+    """Initial bounce-loop carry.
+
+    Derive every carry from the (possibly device-varying) inputs so the
+    carry has a consistent varying-manual-axes type under shard_map
+    (origin is broadcast from the replicated camera position; tie it to the
+    varying ray directions so its vma type matches the body output).
+    """
+    origin = origin + direction * F32(0.0)
+    zeros = origin * F32(0.0)
+    total = zeros
+    trans = zeros + F32(1.0)
+    alive = zeros[:, 0] == F32(0.0)  # all True, varying like origin
+    prev_nee = zeros[:, 0] != F32(0.0)  # all False
+    return (origin, direction, total, trans, seed, alive, prev_nee,
+            np.int32(0))
 
 
 def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
@@ -374,147 +578,129 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
     backend: brute force (default, this module) or BVH traversal
     (render/wavefront.py).  Both satisfy the same selection semantics, so the
     transport code here is the single source of truth for shading.
+
+    ``cfg.compact`` switches the bounce loop to alive-lane stream compaction
+    (trace_rays_compact) — bit-identical output, less work per deep bounce.
     """
     if intersect_fn is None:
         intersect_fn = intersect_scene_brute
-    from wc_path_tracer_tpu.ops import bsdf
-
-    # Derive initial carries from the (possibly device-varying) inputs so the
-    # scan carry has a consistent varying-manual-axes type under shard_map.
-    # (origin is broadcast from the replicated camera position; tie it to the
-    # varying ray directions so its vma type matches the scan body output.)
-    origin = origin + direction * F32(0.0)
-    zeros = origin * F32(0.0)
-    total = zeros
-    trans = zeros + F32(1.0)
-    alive = zeros[:, 0] == F32(0.0)  # all True, varying like origin
-    prev_nee = zeros[:, 0] != F32(0.0)  # all False
-    bounce_idx0 = np.int32(0)
+    if cfg.compact:
+        return trace_rays_compact(scene, origin, direction, seed, cfg,
+                                  intersect_fn)
 
     def bounce(carry, _):
-        o, d, total, trans, seed, alive, prev_nee, bounce_idx = carry
-        rec = intersect_fn(scene, o, d, cfg)
-
-        # miss -> sky * transmittance, path ends (pathTracer.comp:248-249)
-        miss = alive & ~rec.hit
-        total = total + jnp.where(miss[:, None], sky_color(d, cfg) * trans, F32(0.0))
-        live = alive & rec.hit
-
-        m = _gather_material(scene.materials, rec.material)
-
-        is_dielectric = m["mtype"] == MATERIAL_DIELECTRIC
-        is_metal = m["mtype"] == MATERIAL_METAL
-        is_lambert = m["mtype"] == MATERIAL_LAMBERTIAN
-        is_ggx = m["mtype"] == MATERIAL_GGX
-
-        # emission (:253). Under NEE, lanes whose previous bounce already
-        # accounted for direct light via a light-sample connection skip the
-        # BSDF-path emission hit (avoids double counting).
-        emit = live & ~prev_nee if cfg.use_nee else live
-        total = total + jnp.where(
-            emit[:, None],
-            m["emission"] * m["emission_strength"][:, None] * trans,
-            F32(0.0))
-
-        # --- NEE (extension): direct-light connection for Lambertian lanes;
-        # 3 masked draws ---
-        if cfg.use_nee:
-            nee_mask = live & is_lambert
-            direct, seed = sample_direct_light(scene, rec, seed, nee_mask,
-                                               intersect_fn, cfg)
-            total = total + jnp.where(
-                nee_mask[:, None],
-                direct * bsdf.lambert_brdf_over_pi(m["albedo"]) * trans,
-                F32(0.0))
-        else:
-            nee_mask = None
-
-        # --- dielectric pre-draw (:268-273). The short-circuit `||` skips the
-        # rand draw under TIR; mask accordingly so streams stay bit-exact.
-        eta_i = jnp.where(rec.front, F32(1.0), m["ior"])
-        eta_t = jnp.where(rec.front, m["ior"], F32(1.0))
-        reflect_prob = _fresnel_reflectance(d, rec.normal, eta_i, eta_t)
-        refr, tir = ix.refract(d, rec.normal, eta_i / eta_t)
-        u_refl, seed = rng.rand_masked(seed, live & is_dielectric & ~tir)
-
-        # --- GGX slot (extension): 2 masked draws for the half-vector ---
-        u_g1, seed = rng.rand_masked(seed, live & is_ggx)
-        u_g2, seed = rng.rand_masked(seed, live & is_ggx)
-
-        # --- shared 6-draw RandomDirection (metal :258, dielectric :275,
-        # lambert extension). Drawn for every live non-GGX lane, preserving
-        # the reference's per-thread stream for METAL/DIELECTRIC scenes.
-        rdir, seed = rng.random_direction(seed, live & ~is_ggx)
-
-        refl = ix.reflect(d, rec.normal)
-        rough = m["roughness"][:, None]
-
-        # METAL (:256-262)
-        d_metal = ix.normalize(refl + rough * rdir, eps=F32(1e-20))
-        o_metal = rec.p + rec.normal * BIAS
-
-        # DIELECTRIC (:263-280)
-        follow_reflect = tir | (u_refl <= reflect_prob)
-        base = jnp.where(follow_reflect[:, None], refl, refr)
-        d_diel = ix.normalize(base + rough * rdir, eps=F32(1e-20))
-        absorb = (~follow_reflect) & (~rec.front)
-        beer = jnp.exp(-m["absorption"] * m["absorption_strength"][:, None]
-                       * rec.t[:, None])
-        o_diel = rec.p + BIAS * rec.normal * jnp.sign(
-            jnp.sum(d_diel * rec.normal, axis=-1, keepdims=True))
-
-        # LAMBERTIAN extension: cosine-weighted via normal + unit sphere dir
-        d_lam = rec.normal + rdir
-        # guard the degenerate opposite-direction case
-        lam_len = jnp.linalg.norm(d_lam, axis=-1, keepdims=True)
-        d_lam = jnp.where(lam_len < F32(1e-6), rec.normal, d_lam / jnp.maximum(lam_len, F32(1e-6)))
-        o_lam = rec.p + rec.normal * BIAS
-
-        # GGX extension: microfacet conductor lobe (ops/bsdf.py)
-        d_ggx, w_ggx, ggx_valid = bsdf.ggx_sample(
-            rec.normal, -d, m["albedo"], m["roughness"], m["metallic"],
-            u_g1, u_g2)
-        d_ggx = ix.normalize(d_ggx, eps=F32(1e-20))
-        o_ggx = rec.p + rec.normal * BIAS
-
-        new_d = jnp.where(is_dielectric[:, None], d_diel,
-                          jnp.where(is_lambert[:, None], d_lam,
-                                    jnp.where(is_ggx[:, None], d_ggx, d_metal)))
-        new_o = jnp.where(is_dielectric[:, None], o_diel,
-                          jnp.where((is_lambert | is_ggx)[:, None], o_lam,
-                                    o_metal))
-
-        tput = jnp.where((is_metal | is_lambert)[:, None],
-                         m["albedo"],
-                         jnp.where(is_ggx[:, None], w_ggx,
-                                   jnp.where(absorb[:, None], beer, F32(1.0))))
-        trans = jnp.where(live[:, None], trans * tput, trans)
-        # GGX samples that dipped under the surface carry zero weight; kill
-        live = live & jnp.where(is_ggx, ggx_valid, True)
-
-        # --- Russian roulette (extension): 1 masked draw per eligible lane ---
-        if cfg.use_rr:
-            rr_mask = live & (bounce_idx >= cfg.rr_start_bounce)
-            p_survive = jnp.clip(jnp.max(trans, axis=-1), F32(0.05), F32(1.0))
-            u_rr, seed = rng.rand_masked(seed, rr_mask)
-            killed = rr_mask & (u_rr > p_survive)
-            live = live & ~killed
-            keep = rr_mask & ~killed
-            trans = jnp.where(keep[:, None], trans / p_survive[:, None], trans)
-
-        prev_nee = (nee_mask & live) if cfg.use_nee else prev_nee
-
-        o = jnp.where(live[:, None], new_o, o)
-        d = jnp.where(live[:, None], new_d, d)
-        return (o, d, total, trans, seed, live, prev_nee,
-                bounce_idx + np.int32(1)), None
+        return _bounce_segment(scene, cfg, intersect_fn, carry), None
 
     # `i <= maxBounceCount` -> max_bounces + 1 segments (pathTracer.comp:245)
     (o, d, total, trans, seed, alive, prev_nee, _), _ = jax.lax.scan(
-        bounce, (origin, direction, total, trans, seed, alive, prev_nee,
-                 bounce_idx0),
+        bounce, _initial_carry(origin, direction, seed),
         None, length=cfg.max_bounces + 1)
     return total, seed
+
+
+def trace_rays_compact(scene: Scene, origin, direction, seed,
+                       cfg: RenderConfig, intersect_fn=None):
+    """trace_rays with alive-lane stream compaction (SURVEY §7.1 step 3(iv)).
+
+    The reference megakernel marches EVERY thread through every bounce
+    segment (pathTracer.comp:241-284); with Russian roulette most lanes die
+    early yet still pay full intersect+BSDF cost.  Measured design point
+    (TPU v5e, BASELINE.md): the renderer runs tens of Grays/s, so per-bounce
+    re-sorting costs more state traffic than it saves — instead:
+
+    - bounces before ``cfg.compact_from`` run the plain full-batch segment
+      (zero overhead while the wavefront is dense);
+    - at ``compact_from`` the lanes are stable-partitioned ONCE so alive
+      lanes form a prefix (cumsum positions + one unique-index scatter — no
+      sort network).  Because lanes only ever die, dead lanes stay clustered
+      in the suffix forever after;
+    - every later bounce runs a ``lax.scan`` over static blocks whose body
+      is a ``lax.cond`` on "any lane in this block alive" — XLA executes
+      only the taken branch, so all-dead blocks cost one reduction in BOTH
+      the forward and the transposed backward pass (lax.cond is
+      reverse-differentiable, unlike a dynamic-trip-count while_loop).
+
+    Per-lane math is untouched and lanes carry their PCG streams with them,
+    so output matches the plain path to float32 reassociation (<= 2 ulp —
+    XLA fuses the permuted program differently); the work schedule is the
+    only change.  Radiance is un-permuted at the end via the carried
+    original index.
+    """
+    if intersect_fn is None:
+        intersect_fn = intersect_scene_brute
+    R = origin.shape[0]
+    nblk = min(cfg.compact_blocks, R)
+    while R % nblk:
+        nblk -= 1  # block count must divide the (static) lane count
+    B = R // nblk
+    compact_from = min(max(cfg.compact_from, 0), cfg.max_bounces + 1)
+
+    iota = jnp.arange(R, dtype=jnp.int32)
+    (o, d, total, trans, seed, alive, prev_nee, _) = \
+        _initial_carry(origin, direction, seed)
+    orig = iota  # lane -> original ray index, set by the one-time partition
+
+    def dense_bounce(carry, bounce_idx):
+        return _bounce_segment(scene, cfg, intersect_fn, carry[:7]
+                               + (bounce_idx,))[:7], None
+
+    # --- dense phase: plain scan, full batch, no overhead ---
+    if compact_from > 0:
+        (o, d, total, trans, seed, alive, prev_nee), _ = jax.lax.scan(
+            dense_bounce, (o, d, total, trans, seed, alive, prev_nee),
+            jnp.arange(compact_from, dtype=jnp.int32))
+
+    if compact_from < cfg.max_bounces + 1:
+        # --- one-time stable partition: alive lanes -> prefix ---
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        ca = jnp.cumsum(alive.astype(jnp.int32))
+        cd = jnp.cumsum((~alive).astype(jnp.int32))
+        pos = jnp.where(alive, ca - 1, n_alive + cd - 1)
+        order = jnp.zeros(R, jnp.int32).at[pos].set(iota, unique_indices=True)
+
+        def take(x):
+            return x[order]
+        o, d, total, trans = take(o), take(d), take(total), take(trans)
+        seed, alive, prev_nee, orig = (take(seed), take(alive),
+                                       take(prev_nee), take(orig))
+
+        def sparse_bounce(state, bounce_idx):
+            o, d, total, trans, seed, alive, prev_nee = state
+
+            def one_block(_, b):
+                start = b * B
+
+                def slc(x):
+                    return jax.lax.dynamic_slice_in_dim(x, start, B, axis=0)
+                block = (slc(o), slc(d), slc(total), slc(trans), slc(seed),
+                         slc(alive), slc(prev_nee), bounce_idx)
+
+                # remat: recompute the block in the backward pass instead of
+                # saving its intersect/shade residuals — the per-(block,
+                # bounce) residual stack otherwise exceeds HBM at 1024^2
+                @jax.checkpoint
+                def work(blk):
+                    return _bounce_segment(scene, cfg, intersect_fn, blk)[:7]
+
+                def skip(blk):
+                    return blk[:7]
+
+                return None, jax.lax.cond(jnp.any(block[5]), work, skip,
+                                          block)
+
+            _, outs = jax.lax.scan(one_block, None,
+                                   jnp.arange(nblk, dtype=jnp.int32))
+            flat = tuple(x.reshape((R,) + x.shape[2:]) for x in outs)
+            return flat, jnp.sum(state[5].astype(jnp.int32))
+
+        (o, d, total, trans, seed, alive, prev_nee), _ = jax.lax.scan(
+            sparse_bounce, (o, d, total, trans, seed, alive, prev_nee),
+            jnp.arange(compact_from, cfg.max_bounces + 1, dtype=jnp.int32))
+
+    # un-permute back to ray order (unique-index scatters)
+    total_out = jnp.zeros_like(total).at[orig].set(total, unique_indices=True)
+    seed_out = jnp.zeros_like(seed).at[orig].set(seed, unique_indices=True)
+    return total_out, seed_out
 
 
 def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,

@@ -52,6 +52,18 @@ class RenderConfig:
     bloom_strength: float = 1.0   # scale on the added bloom (1.0 = composite.comp's
     #                               direct add; extension knob beyond the ref)
 
+    compact: bool = False        # alive-ray stream compaction between bounces
+    #                              (golden.trace_rays_compact): bit-identical
+    #                              output, skips intersect+BSDF work for dead
+    #                              lanes in blocks — pays off with RR / deep
+    #                              bounce counts where most lanes die early.
+    compact_blocks: int = 16     # block grid for compaction: work is skipped
+    #                              in units of num_rays/compact_blocks lanes.
+    compact_from: int = 4        # bounce index of the one-time partition;
+    #                              earlier bounces run dense (zero overhead).
+    #                              Pick ~where the alive fraction collapses
+    #                              (with RR: rr_start_bounce + 1).
+
     traversal: str = "stackless"  # BVH walk flavor: "stackless" = escape-link
     #                               DFS (one i32 cursor per lane, cheapest
     #                               iteration on the VPU); "stack" = per-lane
@@ -76,6 +88,8 @@ class RenderConfig:
             raise ValueError(f"unknown sky model: {self.sky!r}")
         if self.traversal not in ("stackless", "stack"):
             raise ValueError(f"unknown traversal: {self.traversal!r}")
+        if self.compact_blocks <= 0:
+            raise ValueError("compact_blocks must be positive")
 
     @property
     def num_rays(self) -> int:
