@@ -98,6 +98,66 @@ def ray_triangle(origin, direction, a, b, c):
     return t, u, v, hit
 
 
+def ray_triangle_sweep(origin, direction, a, b, c):
+    """All-pairs Möller-Trumbore sweep: (R,3) rays x (T,3) triangles -> (R,T).
+
+    Returns (t, hit_mask), the two outputs the closest-hit search consumes.
+    Same math as ray_triangle but computed on per-component (R,T) arrays
+    (structure-of-arrays): a broadcasted (R,1,3)x(1,T,3) formulation keeps
+    trailing-length-3 intermediates, which XLA:TPU pads to 128 lanes —
+    measured 3x slower on the live chip (tools/exp_tri_sweep.py: 21 ms vs
+    7 ms for a 2^20 x 43 sweep).  Values can differ from ray_triangle by
+    fma-contraction rounding (XLA contracts differently per fusion), which
+    the acceptance tests tolerate.
+    """
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]   # (R,1)
+    dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    ax, ay, az = a[None, :, 0], a[None, :, 1], a[None, :, 2]      # (1,T)
+    bx, by, bz = b[None, :, 0], b[None, :, 1], b[None, :, 2]
+    cx, cy, cz = c[None, :, 0], c[None, :, 1], c[None, :, 2]
+
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az          # edge_ab
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az          # edge_ac
+    oax, oay, oaz = ox - ax, oy - ay, oz - az
+
+    # pvec = direction x edge_ac
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    inv_det = F32(1.0) / (e1x * px + e1y * py + e1z * pz)
+    # qvec = oa x edge_ab
+    qx = oay * e1z - oaz * e1y
+    qy = oaz * e1x - oax * e1z
+    qz = oax * e1y - oay * e1x
+    u = (oax * px + oay * py + oaz * pz) * inv_det
+    v = dx * (qx * inv_det) + dy * (qy * inv_det) + dz * (qz * inv_det)
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (t > F32(0.0)) & (u >= F32(0.0)) & (u <= F32(1.0)) \
+        & (v >= F32(0.0)) & (u + v <= F32(1.0))
+    t = jnp.where(hit, t, F32(-1.0))
+    return t, hit
+
+
+def ray_sphere_sweep(origin, direction, center, radius):
+    """All-pairs sphere test: (R,3) rays x (S,3) spheres -> (R,S) (near, far).
+
+    SoA variant of ray_sphere (same rationale as ray_triangle_sweep).
+    """
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    cx, cy, cz = center[None, :, 0], center[None, :, 1], center[None, :, 2]
+
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    b = ocx * dx + ocy * dy + ocz * dz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - radius[None, :] * radius[None, :]
+    disc = b * b - c
+    s = safe_sqrt(disc)
+    miss = disc < F32(0.0)
+    sentinel = F32(-1.0)
+    return (jnp.where(miss, sentinel, -b - s),
+            jnp.where(miss, sentinel, -b + s))
+
+
 def reflect(d, n):
     """GLSL reflect: d - 2*dot(d,n)*n."""
     return d - F32(2.0) * jnp.sum(d * n, axis=-1, keepdims=True) * n

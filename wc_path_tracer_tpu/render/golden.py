@@ -100,6 +100,33 @@ def onehot_gather(table, idx, num_classes):
     return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
 
 
+def _min_select(t_masked):
+    """First-argmin selection without argmin/take_along_axis/gather.
+
+    Returns (t_min (R,), onehot (R, P) f32) for a masked candidate matrix
+    (misses = KINF).  Semantics are exactly ``idx = argmin(t); t = t[idx]``
+    (earliest index wins ties) but built from plain min-reductions and
+    comparisons: measured on the live TPU backend (tools/exp_roofline.py),
+    ``argmin`` + ``take_along_axis`` on a (2^20, 43) sweep costs ~26 ms
+    where two fused min-reduction passes cost ~3 ms, and each row-gather
+    another ~5 ms — this selection pattern is where the brute-force
+    renderer's time actually went.
+
+    The one-hot row is the payload-fetch operand: ``oh @ payload`` with
+    HIGHEST precision is an exact gather of the winner's row that both
+    executes on the MXU and transposes to an MXU matmul in reverse mode.
+    All inputs here are post-stop_gradient, so the one-hot itself carries
+    no gradient (detached argmin estimator).
+    """
+    P = t_masked.shape[-1]
+    t_min = jnp.min(t_masked, axis=-1)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    match = t_masked == t_min[:, None]
+    idx = jnp.min(jnp.where(match, iota[None, :], np.int32(P)), axis=-1)
+    oh = (iota[None, :] == idx[:, None]).astype(F32)
+    return t_min, oh
+
+
 def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) -> HitRecord:
     """Closest-hit query against every sphere and triangle (masked brute force).
 
@@ -112,10 +139,10 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     Differentiation strategy (TPU-critical): the closest-hit *search* over
     all primitives is discrete argmin — it runs under stop_gradient.  The
     winning primitive's t/normal are then recomputed differentiably from its
-    own parameters (one-hot matmul gathers for the small sphere table, a
-    single index gather for triangle vertices).  Same detached-argmin
-    estimator as before, but reverse-mode never transposes the (R, P)
-    primitive sweep into giant scatters.
+    own parameters, fetched by one-hot payload matmuls (_min_select), so
+    reverse-mode never transposes the (R, P) primitive sweep into giant
+    scatters and forward mode never issues per-ray row gathers (both
+    measured pathological on TPU — tools/exp_roofline.py).
     """
     sph = scene.spheres
     mesh = scene.mesh
@@ -124,52 +151,62 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     o_ng, d_ng = sg(origin), sg(direction)
 
     # ---------- discrete search (no gradients) ----------
-    near, far = ix.ray_sphere(o_ng[:, None, :], d_ng[:, None, :],
-                              sg(sph.position)[None], sg(sph.radius)[None])  # (R, S)
+    near, far = ix.ray_sphere_sweep(o_ng, d_ng,
+                                    sg(sph.position), sg(sph.radius))  # (R, S)
     s_live = (jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count)[None, :]
     if cfg.sphere_near_root_only:
         t_cand = near  # quirk 1: reference tests only `.x` (pathTracer.comp:141)
     else:
         t_cand = jnp.where(near > F32(0.0), near, far)
     t_sph = jnp.where(s_live & (t_cand > F32(0.0)), t_cand, KINF)
-    sph_idx = jnp.argmin(t_sph, axis=-1)                     # first min wins ties
-    t_s_ng = jnp.take_along_axis(t_sph, sph_idx[:, None], axis=-1)[:, 0]
+    t_s_ng, oh_s = _min_select(t_sph)                    # first min wins ties
 
     # indices are draw-relative vertex ids (the reference's per-mesh buffers
     # addressed via DrawCommand device pointers, pathTracer.comp:82-88);
     # rebase to bank-global ids with each triangle's draw vertex offset
     voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
     tri = mesh.indices.reshape(-1, 3) + voff[:, None]        # (T, 3)
-    verts_ng = sg(mesh.vertices)
-    a_all = verts_ng[tri[:, 0]]
-    b_all = verts_ng[tri[:, 1]]
-    c_all = verts_ng[tri[:, 2]]
-    t_t, _, _, t_hit = ix.ray_triangle(o_ng[:, None, :], d_ng[:, None, :],
-                                       a_all[None], b_all[None], c_all[None])  # (R, T)
+    # per-triangle vertex rows: (T,)-sized gathers, trivial; gradients flow
+    # to mesh.vertices through a T-sized (not R-sized) scatter-add transpose
+    a_all = mesh.vertices[tri[:, 0]]
+    b_all = mesh.vertices[tri[:, 1]]
+    c_all = mesh.vertices[tri[:, 2]]
+    t_t, t_hit = ix.ray_triangle_sweep(o_ng, d_ng, sg(a_all), sg(b_all),
+                                       sg(c_all))  # (R, T)
     t_live = _live_triangle_mask(scene)[None, :]
     t_tri_all = jnp.where(t_hit & t_live, t_t, KINF)
-    tri_idx = jnp.argmin(t_tri_all, axis=-1)
-    t_tr_ng = jnp.take_along_axis(t_tri_all, tri_idx[:, None], axis=-1)[:, 0]
+    t_tr_ng, oh_t = _min_select(t_tri_all)
 
     use_tri = t_tr_ng < t_s_ng   # triangle wins only if strictly closer (:171)
     hit = jnp.minimum(t_tr_ng, t_s_ng) < KINF
 
     # ---------- differentiable re-shade of the winners ----------
-    # sphere fields via one-hot matmuls (S is small)
-    S = sph.capacity
-    sph_center = onehot_gather(sph.position, sph_idx, S)
-    sph_radius = onehot_gather(sph.radius, sph_idx, S)
+    # Winner payloads via one-hot matmuls (see _min_select): ONE fused
+    # (R,S)@(S,cols) and one (R,T)@(T,cols) HIGHEST-precision matmul each
+    # fetch every per-winner field exactly, with MXU-matmul transposes.
+    HI = jax.lax.Precision.HIGHEST
+    sph_payload = jnp.concatenate([
+        sph.position,                       # 0:3
+        sph.radius[:, None],                # 3
+        sph.material.astype(F32)[:, None],  # 4 (small int ids exact in f32)
+    ], axis=1)
+    g_s = jnp.matmul(oh_s, sph_payload, precision=HI)
+    sph_center, sph_radius = g_s[:, 0:3], g_s[:, 3]
+    sph_material = g_s[:, 4].astype(jnp.int32)
+
     near_w, far_w = ix.ray_sphere(origin, direction, sph_center, sph_radius)
     if cfg.sphere_near_root_only:
         t_s = near_w
     else:
         t_s = jnp.where(sg(near_w) > F32(0.0), near_w, far_w)
 
-    # winning triangle vertices via a single gather per ray
-    ia = tri[tri_idx]                                        # (R, 3) vertex ids
-    a = mesh.vertices[ia[:, 0]]
-    b = mesh.vertices[ia[:, 1]]
-    c = mesh.vertices[ia[:, 2]]
+    tri_payload = jnp.concatenate([
+        a_all, b_all, c_all,                          # 0:9
+        mesh.tri_material.astype(F32)[:, None],       # 9
+    ], axis=1)
+    g_t = jnp.matmul(oh_t, tri_payload, precision=HI)
+    a, b, c = g_t[:, 0:3], g_t[:, 3:6], g_t[:, 6:9]
+    tri_material = g_t[:, 9].astype(jnp.int32)
     t_tri_w, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
 
     t_best = jnp.where(use_tri, t_tri_w, t_s)
@@ -185,7 +222,7 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     n_tri = ix.normalize(jnp.cross(b - a, c - a), eps=F32(1e-20))  # flat, :173
 
     normal = jnp.where(use_tri[:, None], n_tri, n_sph)
-    material = jnp.where(use_tri, mesh.tri_material[tri_idx], sph.material[sph_idx])
+    material = jnp.where(use_tri, tri_material, sph_material)
 
     front = jnp.sum(d_ng * sg(normal), axis=-1) < F32(0.0)   # :206
     normal = jnp.where(front[:, None], normal, -normal)      # :207
@@ -213,8 +250,8 @@ def occluded_brute(scene: Scene, origin, direction, max_dist, cfg: RenderConfig)
     sph = scene.spheres
     mesh = scene.mesh
 
-    near, far = ix.ray_sphere(origin[:, None, :], direction[:, None, :],
-                              sg(sph.position)[None], sg(sph.radius)[None])
+    near, far = ix.ray_sphere_sweep(origin, direction,
+                                    sg(sph.position), sg(sph.radius))
     s_live = (jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count)[None, :]
     if cfg.sphere_near_root_only:
         t_cand = near
@@ -226,10 +263,10 @@ def occluded_brute(scene: Scene, origin, direction, max_dist, cfg: RenderConfig)
     voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
     tri = mesh.indices.reshape(-1, 3) + voff[:, None]
     verts = sg(mesh.vertices)
-    t_t, _, _, t_hit = ix.ray_triangle(origin[:, None, :], direction[:, None, :],
-                                       verts[tri[:, 0]][None],
-                                       verts[tri[:, 1]][None],
-                                       verts[tri[:, 2]][None])
+    t_t, t_hit = ix.ray_triangle_sweep(origin, direction,
+                                       verts[tri[:, 0]],
+                                       verts[tri[:, 1]],
+                                       verts[tri[:, 2]])
     t_live = _live_triangle_mask(scene)[None, :]
     t_occ = jnp.any(t_hit & t_live & (t_t < max_dist[:, None]), axis=-1)
     return s_occ | t_occ
@@ -591,10 +628,15 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
     def bounce(carry, _):
         return _bounce_segment(scene, cfg, intersect_fn, carry), None
 
-    # `i <= maxBounceCount` -> max_bounces + 1 segments (pathTracer.comp:245)
+    # `i <= maxBounceCount` -> max_bounces + 1 segments (pathTracer.comp:245).
+    # unroll=True (bounce count is <= 9): measured on chip, the rolled scan
+    # costs ~3 ms of fixed overhead per iteration AND forces residuals into
+    # per-iteration stacked buffers; full unroll lets XLA fuse across bounce
+    # boundaries — 115 ms -> 48 ms fwd+bwd at 1024^2 Cornell
+    # (tools/exp_bwd.py; beats jax.checkpoint remat of the rolled loop too).
     (o, d, total, trans, seed, alive, prev_nee, _), _ = jax.lax.scan(
         bounce, _initial_carry(origin, direction, seed),
-        None, length=cfg.max_bounces + 1)
+        None, length=cfg.max_bounces + 1, unroll=True)
     return total, seed
 
 
