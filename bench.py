@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--renderer", default="auto",
-                    choices=["auto", "golden", "wavefront", "pallas"],
+                    choices=["auto", "golden", "wavefront", "pallas", "sweep"],
                     help="render path to benchmark")
     ap.add_argument("--scene", default="cornell",
                     choices=["cornell", "bunny", "default", "triangle", "bsdf"],

@@ -1,0 +1,151 @@
+"""Cluster-sweep backend (kernels/cluster.py, render/sweep.py) vs brute.
+
+The cluster sweep is the production closest-hit path for meshed scenes
+(dispatch 'auto' above BRUTE_FORCE_MAX_TRIS); these tests pin it to the
+golden brute-force oracle on hits, payloads, full frames, NEE occlusion,
+gradients, and runtime scene edits.  CPU runs use the Pallas interpreter
+(render/sweep.py auto-detects the backend).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wc_path_tracer_tpu.models import builtin
+from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+from wc_path_tracer_tpu.render import golden, sweep
+from wc_path_tracer_tpu.scene.camera import camera_matrices
+from wc_path_tracer_tpu.scene.types import (
+    MATERIAL_LAMBERTIAN, MATERIAL_METAL, SceneBuilder)
+from wc_path_tracer_tpu.utils.config import RenderConfig
+
+from tests.test_render_bvh import random_rays, random_soup_scene
+
+CFG = RenderConfig(width=8, height=8)
+
+
+@pytest.mark.parametrize("n_tris,seed", [(4, 0), (64, 1), (333, 2)])
+def test_sweep_hits_equal_brute_force(n_tris, seed):
+    scene = random_soup_scene(n_tris=n_tris, seed=seed)
+    o, d = random_rays(512, seed + 10)
+    rb = golden.intersect_scene_brute(scene, o, d, CFG)
+    rs = sweep.intersect_scene_sweep(scene, o, d, CFG)
+    np.testing.assert_array_equal(np.asarray(rb.hit), np.asarray(rs.hit))
+    hit = np.asarray(rb.hit)
+    np.testing.assert_allclose(np.asarray(rs.t)[hit], np.asarray(rb.t)[hit],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rs.material)[hit],
+                                  np.asarray(rb.material)[hit])
+    np.testing.assert_allclose(np.asarray(rs.normal)[hit],
+                               np.asarray(rb.normal)[hit], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rs.front)[hit],
+                                  np.asarray(rb.front)[hit])
+
+
+def test_sweep_multi_draw_and_padding():
+    """Multiple draws, padded capacities, odd ray count (< RAY_BLOCK)."""
+    b = SceneBuilder()
+    m = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.5, 0.5, 0.5))
+    rng = np.random.default_rng(3)
+    for k in range(3):
+        tris = rng.normal(size=(5 + k, 3, 3)).astype(np.float32)
+        tris[..., 2] -= 4.0
+        b.add_mesh(tris.reshape(-1, 3),
+                   np.arange((5 + k) * 3, dtype=np.int32), tri_material=m)
+    b.add_sphere((0, 0, -4), 0.7, m)
+    scene = b.build(index_capacity=3 * 64, draw_capacity=8)
+    o, d = random_rays(173, 7)   # odd count forces ray padding
+    rb = golden.intersect_scene_brute(scene, o, d, CFG)
+    rs = sweep.intersect_scene_sweep(scene, o, d, CFG)
+    np.testing.assert_array_equal(np.asarray(rb.hit), np.asarray(rs.hit))
+    hit = np.asarray(rb.hit)
+    np.testing.assert_allclose(np.asarray(rs.t)[hit], np.asarray(rb.t)[hit],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rs.material)[hit],
+                                  np.asarray(rb.material)[hit])
+
+
+def test_sweep_respects_runtime_draw_count():
+    """Tables are derived in-jit: removing a draw (draw_count-1) must stop
+    its triangles from hitting without any host-side rebuild."""
+    b = SceneBuilder()
+    m = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.5, 0.5, 0.5))
+    quad = np.array([[-1, -1, -4], [1, -1, -4], [1, 1, -4],
+                     [-1, -1, -4], [1, 1, -4], [-1, 1, -4]], np.float32)
+    b.add_mesh(quad, np.arange(6, dtype=np.int32), tri_material=m)
+    scene = b.build()
+    o = jnp.zeros((16, 3), jnp.float32)
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (16, 3))
+    rs = sweep.intersect_scene_sweep(scene, o, d, CFG)
+    assert bool(jnp.all(rs.hit))
+    gone = dataclasses.replace(
+        scene, mesh=dataclasses.replace(scene.mesh,
+                                        draw_count=jnp.asarray(0, jnp.int32)))
+    rs0 = sweep.intersect_scene_sweep(gone, o, d, CFG)
+    assert not bool(jnp.any(rs0.hit))
+
+
+@pytest.mark.parametrize("nee", [False, True])
+def test_sweep_frame_matches_brute(nee):
+    scene, cam = bunny_like_scene(2)
+    cfg = RenderConfig(width=48, height=48, samples=1, max_bounces=3,
+                       use_nee=nee)
+    mats = camera_matrices(cam, 1.0)
+    img_b = jax.jit(golden.render_frame, static_argnames="cfg")(
+        scene, mats, cfg, 1)
+    img_s = jax.jit(sweep.render_frame, static_argnames="cfg")(
+        scene, mats, cfg, 1)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_b),
+                               atol=1e-5)
+
+
+def test_sweep_material_grads_match_brute():
+    scene, cam = bunny_like_scene(1)
+    cfg = RenderConfig(width=24, height=24, samples=1, max_bounces=2)
+    mats = camera_matrices(cam, 1.0)
+
+    def loss(albedo, render_frame):
+        m = dataclasses.replace(scene.materials, albedo=albedo)
+        s = dataclasses.replace(scene, materials=m)
+        return jnp.mean(render_frame(s, mats, cfg, 1))
+
+    g_b = jax.grad(loss)(scene.materials.albedo, golden.render_frame)
+    g_s = jax.grad(loss)(scene.materials.albedo, sweep.render_frame)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_b),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_sweep_camera_grads_flow():
+    """Ray origin/direction gradients flow through the sweep re-shade."""
+    scene, _ = bunny_like_scene(1)
+    o, d = random_rays(64, 11)
+
+    def loss(o):
+        rec = sweep.intersect_scene_sweep(scene, o, d, CFG)
+        return jnp.sum(jnp.where(rec.hit, rec.t, 0.0))
+
+    g = jax.grad(loss)(o)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_sweep_occlusion_matches_brute():
+    scene = random_soup_scene(n_tris=64, seed=5)
+    o, d = random_rays(256, 6)
+    maxd = jnp.full((256,), 3.0, jnp.float32)
+    occ_b = golden.occluded_brute(scene, o, d, maxd, CFG)
+    occ_s = sweep.occluded_sweep(scene, o, d, maxd, CFG)
+    np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_s))
+
+
+def test_dispatch_auto_selects_sweep_for_big_meshes():
+    from wc_path_tracer_tpu.render import dispatch
+    scene, _ = bunny_like_scene(3)   # 1280 tris > BRUTE_FORCE_MAX_TRIS
+    fn = dispatch.get_render_frame("auto", scene, None)
+    assert fn is sweep.render_frame
+    small, _ = builtin.cornell_box_scene()
+    fn = dispatch.get_render_frame("auto", small, None)
+    assert fn is golden.render_frame

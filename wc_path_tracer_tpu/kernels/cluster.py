@@ -1,0 +1,301 @@
+"""Cluster-sweep traversal: the TPU-native replacement for the BVH walk.
+
+The reference's hottest code is a per-thread divergent BVH stack walk
+(Intersect, /root/reference/src/shaders/pathTracer.comp:151-201).  Per-lane
+walks are the wrong shape for a TPU: every traversal step needs per-lane
+gathers of node data, and gathers/argmin at ray scale are the two measured
+pathologies of this hardware (tools/exp_roofline.py: a single per-ray row
+gather costs ~5 ms at 2^20 rays; the round-3 honest re-measure put the XLA
+per-lane walk at 0.054 Mrays/s).  This module replaces pointer-chasing with
+*block-sparse brute force*:
+
+- Build side: the BVH builder already stores triangles in DFS-leaf order
+  (spatially coherent runs); the bank is cut into fixed CLUSTER_TRIS-wide
+  clusters and each cluster gets an AABB.  Tables are derived inside jit
+  from the MeshBank (no new scene state, so runtime scene edits — add or
+  remove draws, vertices moving under an optimizer — stay valid), hoisted
+  once per frame by the renderer.
+- Cull stage (XLA): an all-pairs SoA ray-vs-cluster-AABB sweep (R, C) —
+  dense VPU work, no gathers — reduced per ray-block to a *compacted list*
+  of active cluster ids (argsort actives-first) plus a count.
+- Sweep stage (Pallas): ONE grid step per ray block.  The whole triangle
+  table sits VMEM-resident; a dynamic-trip fori_loop walks just that
+  block's active clusters (ids from SMEM scalar prefetch, table slabs by
+  dynamic VMEM slice) and runs the Moller-Trumbore sweep on the VPU.  The
+  winner's vertices/material ride along in the accumulator via an
+  in-register one-hot reduction, so the caller never issues a per-ray
+  gather to re-shade.  Grid steps and pallas_call count are minimized
+  because this backend charges ~2.7 ms fixed per in-jit pallas_call and
+  o(us) per grid step (tools/ measurements, BASELINE.md round 3).
+
+The BVH's log-factor is traded for dense SIMD sweeps + block-level culling:
+work per bounce is sum over ray blocks of (active clusters x RAY_BLOCK x
+CLUSTER_TRIS) tests at ~50 VPU flops each with zero HBM traffic for
+intermediates.  Coherent blocks (primary rays; BVH-leaf-ordered triangles)
+cull most clusters; fully incoherent wavefronts degrade toward dense brute
+force — which still beats the per-lane walk by >100x on this hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wc_path_tracer_tpu.ops import intersect as ix
+
+F32 = np.float32
+I32 = np.int32
+KINF = ix.KINFINITY
+
+CLUSTER_TRIS = 128   # one cluster = one 128-lane vector of triangles
+CLUSTER_ROWS = 16    # f32 rows per cluster slab (9 coords + material + pad)
+RAY_BLOCK = 512      # rays per grid step
+VMEM_TABLE_BYTES = 12 * 1024 * 1024  # triangle-table residency budget
+
+# accumulator / payload column layout (16 f32 lanes per ray)
+#   0: t_best   1:9: winner vertices ax ay az bx by bz cx cy cz
+#   10: material id (f32-encoded; exact for ids < 2^24)
+#   11: winner triangle slot id (f32-encoded; -1 = none)
+#   12..15: unused padding
+PAYLOAD_COLS = 16
+
+
+def max_table_tris() -> int:
+    """Largest triangle capacity the VMEM-resident table supports."""
+    return (VMEM_TABLE_BYTES // (CLUSTER_ROWS * 128 * 4)) * CLUSTER_TRIS
+
+
+def build_cluster_tables(mesh):
+    """Derive (tris, cmin, cmax) cluster tables from a MeshBank, inside jit.
+
+    tris: (C*CLUSTER_ROWS, 128) f32 — cluster c occupies rows
+    [c*16, (c+1)*16): rows 0..8 = ax..cz (bank-global coordinates), row 9 =
+    material id.  Dead slots (padding, removed draws) are baked as
+    degenerate zero triangles (det == 0 -> NaN u/v -> miss) and excluded
+    from the cluster AABBs, which keeps runtime draw add/remove correct
+    without host-side rebuilds.
+    """
+    T = mesh.triangle_capacity
+    C = -(-T // CLUSTER_TRIS)
+    Tpad = C * CLUSTER_TRIS
+
+    voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
+    tri = mesh.indices.reshape(-1, 3) + voff[:, None]
+    a = mesh.vertices[tri[:, 0]]
+    b = mesh.vertices[tri[:, 1]]
+    c = mesh.vertices[tri[:, 2]]
+    live = (mesh.tri_draw >= 0) & (mesh.tri_draw < mesh.draw_count)
+
+    def pad(x, fill=0.0):
+        return jnp.pad(x, [(0, Tpad - T)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    lv = pad(live)
+    a, b, c = (pad(jnp.where(live[:, None], v, F32(0.0))) for v in (a, b, c))
+    mat = pad(mesh.tri_material.astype(jnp.float32))
+
+    cols = jnp.stack([a[:, 0], a[:, 1], a[:, 2],
+                      b[:, 0], b[:, 1], b[:, 2],
+                      c[:, 0], c[:, 1], c[:, 2],
+                      mat,
+                      *([jnp.zeros(Tpad, jnp.float32)] * 6)], axis=1)
+    tris = cols.reshape(C, CLUSTER_TRIS, CLUSTER_ROWS) \
+               .transpose(0, 2, 1).reshape(C * CLUSTER_ROWS, CLUSTER_TRIS)
+
+    # cluster AABBs over live slots only; an all-dead cluster folds to
+    # (+inf, -inf) and can never pass the slab test
+    vmin = jnp.minimum(jnp.minimum(a, b), c)
+    vmax = jnp.maximum(jnp.maximum(a, b), c)
+    vmin = jnp.where(lv[:, None], vmin, KINF)
+    vmax = jnp.where(lv[:, None], vmax, -KINF)
+    cmin = jnp.min(vmin.reshape(C, CLUSTER_TRIS, 3), axis=1)
+    cmax = jnp.max(vmax.reshape(C, CLUSTER_TRIS, 3), axis=1)
+    return tris, cmin, cmax
+
+
+def _sweep_kernel(nact_ref, clist_ref, bt0_ref, rays_ref, tris_ref, out_ref):
+    """One ray block: walk this block's active clusters front-to-back.
+
+    Layouts keep rays on sublanes and triangles on lanes throughout, so no
+    in-kernel transposes are ever needed: rays (RAY_BLOCK, 16) slices to
+    (RAY_BLOCK, 1) component columns; a cluster slab (16, CLUSTER_TRIS)
+    slices rows to (1, CLUSTER_TRIS).
+
+    The active-cluster list is sorted by the block's nearest entry distance
+    (bt0).  The loop stops as soon as every ray is *finished*: its current
+    best t (or the exit distance of the farthest cluster it entered,
+    whichever is smaller) is <= the next cluster's entry — the per-block
+    analog of the reference walk's t-max pruning (pathTracer.comp:162),
+    lifted to whole clusters.  Corner case: a hit exactly AT a tangent
+    cluster boundary (t == entry == exit in exact f32) can be pruned; this
+    is measure-zero and accepted.
+    """
+    r = pl.program_id(0)
+    C = clist_ref.shape[0] // pl.num_programs(0)
+
+    o_x = rays_ref[0, :, 0:1]
+    o_y = rays_ref[0, :, 1:2]
+    o_z = rays_ref[0, :, 2:3]
+    d_x = rays_ref[0, :, 3:4]
+    d_y = rays_ref[0, :, 4:5]
+    d_z = rays_ref[0, :, 5:6]
+    t_limit = rays_ref[0, :, 7:8]   # farthest cluster-exit per ray
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, CLUSTER_TRIS), 1)
+
+    # Best-so-far state lives in the out block (VMEM-resident for the whole
+    # ray block); updates are vector selects.  (A fori_loop-carry variant
+    # compiled but hung at runtime on this backend's Mosaic.)
+    out_ref[0] = jnp.concatenate(
+        [rays_ref[0, :, 6:7],
+         jnp.zeros((RAY_BLOCK, 10), jnp.float32),
+         jnp.full((RAY_BLOCK, 1), -1.0, jnp.float32),
+         jnp.zeros((RAY_BLOCK, 4), jnp.float32)], axis=1)
+
+    nact = nact_ref[r]
+
+    def cond(state):
+        j, stop = state
+        return jnp.logical_and(j < nact, jnp.logical_not(stop))
+
+    def body(state):
+        j, _ = state
+        c = clist_ref[r * C + j]
+        row = pl.multiple_of(c * CLUSTER_ROWS, CLUSTER_ROWS)
+        slab = tris_ref[pl.ds(row, CLUSTER_ROWS), :]      # (16, 128)
+        ax, ay, az = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+        bx, by, bz = slab[3:4, :], slab[4:5, :], slab[5:6, :]
+        cx, cy, cz = slab[6:7, :], slab[7:8, :], slab[8:9, :]
+
+        # Moller-Trumbore, same operation order as
+        # ops.intersect.ray_triangle_sweep (triangle-only terms stay
+        # (1, CLUSTER_TRIS); mixed terms are (RAY_BLOCK, CLUSTER_TRIS))
+        e1x, e1y, e1z = bx - ax, by - ay, bz - az
+        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+        oax, oay, oaz = o_x - ax, o_y - ay, o_z - az
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        inv_det = F32(1.0) / (e1x * px + e1y * py + e1z * pz)
+        qx = oay * e1z - oaz * e1y
+        qy = oaz * e1x - oax * e1z
+        qz = oax * e1y - oay * e1x
+        u = (oax * px + oay * py + oaz * pz) * inv_det
+        v = (d_x * (qx * inv_det) + d_y * (qy * inv_det)
+             + d_z * (qz * inv_det))
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (t > F32(0)) & (u >= F32(0)) & (u <= F32(1)) \
+            & (v >= F32(0)) & (u + v <= F32(1))
+
+        t_cur = out_ref[0, :, 0:1]
+        tm = jnp.where(hit & (t < t_cur), t, KINF)
+        t_min = jnp.min(tm, axis=1, keepdims=True)
+        better = t_min < t_cur
+
+        # the payload pick (~30 vector ops) only runs when some ray
+        # improved — measured faster than unconditional update despite the
+        # scalar-reduction sync (most active clusters improve nothing)
+        @pl.when(jnp.any(better))
+        def _update():
+            sel = jnp.min(jnp.where(tm == t_min, lane, CLUSTER_TRIS),
+                          axis=1, keepdims=True)
+            onehot = lane == sel
+
+            def pick(j):  # winner's row-j value, (RAY_BLOCK, 1)
+                return jnp.sum(jnp.where(onehot, slab[j:j + 1, :], F32(0.0)),
+                               axis=1, keepdims=True)
+
+            payload = [pick(j) for j in range(10)]
+            gidx = (c * CLUSTER_TRIS).astype(jnp.float32) \
+                + sel.astype(jnp.float32)
+            new = jnp.concatenate(
+                [t_min] + payload + [gidx]
+                + [jnp.zeros((RAY_BLOCK, 4), jnp.float32)], axis=1)
+            out_ref[0] = jnp.where(better, new, out_ref[0])
+
+        # early exit: every ray finished once min(t_best, its own cluster
+        # horizon) is within the next cluster's entry distance
+        nxt = jnp.minimum(j + 1, nact - 1)
+        bt0_next = bt0_ref[r * C + nxt]
+        eff = jnp.minimum(out_ref[0, :, 0:1], t_limit)
+        stop = jnp.logical_not(jnp.any(eff > bt0_next))
+        return j + 1, stop
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), nact == 0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cluster_sweep(origin, direction, t_init, tris, cmin, cmax,
+                  interpret: bool = False):
+    """Closest-hit query of R rays against clustered triangles.
+
+    origin/direction (R,3) f32, t_init (R,) f32 (search upper bound, e.g.
+    the closest sphere hit); tables from build_cluster_tables.  Returns the
+    (R, 16) winner payload (column layout above).  Pure discrete search —
+    call under stop_gradient and re-shade differentiably outside.
+    """
+    if tris.size * 4 > VMEM_TABLE_BYTES:
+        raise NotImplementedError(
+            f"triangle table {tris.size * 4} B exceeds the VMEM residency "
+            f"budget ({VMEM_TABLE_BYTES} B ~= {max_table_tris()} triangles); "
+            "split the scene into draws or extend cluster.py with table "
+            "chunking")
+    R = origin.shape[0]
+    pad = (-R) % RAY_BLOCK
+    if pad:
+        # replicate ray 0: coherent with block 0, costs ~nothing
+        origin = jnp.concatenate([origin,
+                                  jnp.broadcast_to(origin[:1], (pad, 3))])
+        direction = jnp.concatenate(
+            [direction, jnp.broadcast_to(direction[:1], (pad, 3))])
+        t_init = jnp.concatenate(
+            [t_init, jnp.broadcast_to(t_init[:1], (pad,))])
+    Rp = R + pad
+    RB = Rp // RAY_BLOCK
+    C = cmin.shape[0]
+
+    # ---- cull: all-pairs ray-vs-cluster AABB sweep -> per-block compacted
+    # active-cluster lists, sorted front-to-back by block entry distance ----
+    inv_d = F32(1.0) / direction
+    t0, t1 = ix.ray_box_sweep(origin, inv_d, cmin, cmax)
+    enter = (t0 <= t1) & (t1 >= F32(0.0)) & (t0 < t_init[:, None])
+    t0e = jnp.where(enter, t0, KINF)
+    bt0 = jnp.min(t0e.reshape(RB, RAY_BLOCK, C), axis=1)       # (RB, C)
+    nact = jnp.sum((bt0 < KINF).astype(jnp.int32), axis=1)     # (RB,)
+    order = jnp.argsort(bt0, axis=1)                           # actives first
+    bt0_sorted = jnp.take_along_axis(bt0, order, axis=1)
+    # per-ray horizon: the farthest cluster exit this ray enters (rays that
+    # enter nothing get -inf, so they never hold the early-exit open)
+    t_lim = jnp.max(jnp.where(enter, t1, -KINF), axis=1)       # (Rp,)
+
+    rays = jnp.concatenate(
+        [origin, direction, t_init[:, None], t_lim[:, None],
+         jnp.zeros((Rp, 8), jnp.float32)], axis=1).reshape(RB, RAY_BLOCK, 16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,     # nact, clist, bt0 live in SMEM, one DMA
+        grid=(RB,),
+        in_specs=[
+            pl.BlockSpec((1, RAY_BLOCK, 16), lambda r, n, c, b: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole triangle table VMEM-resident for the full grid
+            pl.BlockSpec(tris.shape, lambda r, n, c, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_BLOCK, 16),
+                               lambda r, n, c, b: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    payload = pl.pallas_call(
+        _sweep_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((RB, RAY_BLOCK, 16), jnp.float32),
+        interpret=interpret,
+    )(nact, order.reshape(-1).astype(jnp.int32),
+      bt0_sorted.reshape(-1), rays, tris)
+
+    return payload.reshape(Rp, 16)[:R]

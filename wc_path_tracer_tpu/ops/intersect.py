@@ -138,6 +138,29 @@ def ray_triangle_sweep(origin, direction, a, b, c):
     return t, hit
 
 
+def ray_box_sweep(origin, inv_direction, bmin, bmax):
+    """All-pairs slab test: (R,3) rays x (C,3)+(C,3) boxes -> (R,C) (t0, t1).
+
+    SoA variant of ray_box (same rationale as ray_triangle_sweep).  A hit
+    exists iff t0 <= t1 and t1 >= 0.
+    """
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    ix_, iy, iz = (inv_direction[:, 0:1], inv_direction[:, 1:2],
+                   inv_direction[:, 2:3])
+    t0 = None
+    t1 = None
+    for o_c, i_c, lo, hi in ((ox, ix_, bmin[None, :, 0], bmax[None, :, 0]),
+                             (oy, iy, bmin[None, :, 1], bmax[None, :, 1]),
+                             (oz, iz, bmin[None, :, 2], bmax[None, :, 2])):
+        tb = (lo - o_c) * i_c
+        tt = (hi - o_c) * i_c
+        tmin = jnp.minimum(tb, tt)
+        tmax = jnp.maximum(tb, tt)
+        t0 = tmin if t0 is None else jnp.maximum(t0, tmin)
+        t1 = tmax if t1 is None else jnp.minimum(t1, tmax)
+    return t0, t1
+
+
 def ray_sphere_sweep(origin, direction, center, radius):
     """All-pairs sphere test: (R,3) rays x (S,3) spheres -> (R,S) (near, far).
 

@@ -8,16 +8,20 @@ differs):
   traversal until the triangle count crosses a few hundred.
 - ``wavefront`` — XLA per-lane BVH walk (stack or stackless escape-link);
   scales to arbitrary scene sizes, handles incoherent bounce wavefronts.
+- ``sweep``     — block-sparse cluster sweep (kernels/cluster.py): XLA
+  ray-vs-cluster-AABB cull + a Pallas kernel sweeping only the surviving
+  (ray-block, cluster) pairs on the VPU.  The production path for meshed
+  scenes (round-3 honest measurements, BASELINE.md).
 - ``pallas``    — Pallas packet-BVH kernel (kernels/traversal.py): one
   shared SMEM stack per 1024-ray packet, scalar node loads broadcast to all
-  lanes.  Fastest for coherent packets on scenes whose tables fit SMEM
-  (<= PALLAS_MAX_TRIS triangles).
+  lanes.  Kept as the pointer-chasing design point; loses to ``sweep``.
 - ``auto``      — picks by scene size: brute force below
-  BRUTE_FORCE_MAX_TRIS, the XLA BVH walk above.
+  BRUTE_FORCE_MAX_TRIS triangles, the cluster sweep above.
 
-The crossover threshold was measured on TPU v5e (see BASELINE.md dispatch
-sweep): the brute-force sweep wins up to roughly a few hundred triangles,
-the BVH walk beyond.
+Crossover provenance: round-3 honest timings (BASELINE.md round-3 table) —
+the brute sweep and the cluster sweep coincide below a few hundred
+triangles (the cull stage then only adds overhead), and the cluster sweep
+wins above by block-level culling.
 """
 
 from __future__ import annotations
@@ -31,6 +35,9 @@ def get_render_frame(name: str, scene, cfg):
 
     if name == "golden":
         return golden.render_frame
+    if name == "sweep":
+        from wc_path_tracer_tpu.render import sweep
+        return sweep.render_frame
     if name in ("wavefront", "pallas"):
         try:
             from wc_path_tracer_tpu.render import wavefront
@@ -57,8 +64,8 @@ def get_render_frame(name: str, scene, cfg):
     n_tris = int(scene.mesh.indices.shape[0]) // 3
     if n_tris > BRUTE_FORCE_MAX_TRIS:
         try:
-            from wc_path_tracer_tpu.render import wavefront
-            return wavefront.render_frame
+            from wc_path_tracer_tpu.render import sweep
+            return sweep.render_frame
         except ImportError:
             pass
     return golden.render_frame

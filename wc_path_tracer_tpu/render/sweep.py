@@ -1,0 +1,241 @@
+"""Cluster-sweep renderer: production closest-hit backend for meshed scenes.
+
+Replaces the per-lane BVH walk (render/wavefront.py) with the block-sparse
+cluster sweep (kernels/cluster.py) — see that module for the design
+rationale and measurements.  Shares golden.py's transport (trace_rays
+intersect_fn injection); this module only swaps the closest-hit query, like
+wavefront.py.
+
+Selection semantics match golden.intersect_scene_brute: spheres scanned
+first with first-min-wins ties, triangles override only when strictly
+closer, quirks (near-root-only spheres, flat normals) preserved.
+
+Differentiation: the search is discrete (stop_gradient); the winner is
+re-shaded differentiably from the payload the kernel carried along.
+Gradients flow to sphere parameters (one-hot payload matmuls), ray
+origin/direction (camera), and materials.  Vertex-position gradients do NOT
+flow on this path (the kernel returns detached winner coordinates; a
+per-ray differentiable vertex fetch costs a measured-pathological gather or
+an (R, T) one-hot — use the golden/brute path for vertex optimization, or
+small meshes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wc_path_tracer_tpu.kernels import cluster
+from wc_path_tracer_tpu.ops import intersect as ix
+from wc_path_tracer_tpu.render import golden
+from wc_path_tracer_tpu.scene.types import Scene
+from wc_path_tracer_tpu.utils.config import RenderConfig
+
+F32 = np.float32
+I32 = np.int32
+KINF = ix.KINFINITY
+
+
+def _sphere_closest(scene: Scene, origin, direction, cfg: RenderConfig):
+    """Sphere search + one-hot payload, shared with the brute path's logic
+    (golden.intersect_scene_brute sphere section)."""
+    sph = scene.spheres
+    sg = jax.lax.stop_gradient
+    near, far = ix.ray_sphere_sweep(sg(origin), sg(direction),
+                                    sg(sph.position), sg(sph.radius))
+    s_live = (jnp.arange(sph.capacity, dtype=I32) < sph.count)[None, :]
+    if cfg.sphere_near_root_only:
+        t_cand = near
+    else:
+        t_cand = jnp.where(near > F32(0.0), near, far)
+    t_sph = jnp.where(s_live & (t_cand > F32(0.0)), t_cand, KINF)
+    t_s_ng, oh_s = golden._min_select(t_sph)
+
+    HI = jax.lax.Precision.HIGHEST
+    payload = jnp.concatenate([
+        sph.position, sph.radius[:, None],
+        sph.material.astype(F32)[:, None]], axis=1)
+    g = jnp.matmul(oh_s, payload, precision=HI)
+    return t_s_ng, g[:, 0:3], g[:, 3], g[:, 4].astype(I32)
+
+
+def _tile_permuter(R: int, cfg: RenderConfig):
+    """Pixel->tile reorder as pure reshape/transpose (no gathers).
+
+    Ray batches arrive in row-major pixel order, so a 1024-ray kernel block
+    is a 2-pixel-tall full-width strip — a wide frustum that defeats the
+    cluster sweep's block-level culling and early exit.  Regrouping rays
+    into ~32x32 tiles tightens every block's frustum.  Later bounces keep
+    most of the benefit: scattered rays originate from the hits of a
+    coherent tile.  Returns (fwd, inv) for (R, ...) arrays, or None when R
+    doesn't factor into tiles (odd bands, non-pixel ray sets).
+    """
+    W = cfg.width
+    if R % W:
+        return None
+    rows = R // W
+    th = 1
+    while th < 32 and rows % (th * 2) == 0:
+        th *= 2
+    tw = 1
+    while th * tw < cluster.RAY_BLOCK and W % (tw * 2) == 0:
+        tw *= 2
+    if th * tw < 4:
+        return None
+
+    def fwd(x):
+        s = x.shape[1:]
+        x = x.reshape(rows // th, th, W // tw, tw, *s)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(R, *s)
+
+    def inv(x):
+        s = x.shape[1:]
+        x = x.reshape(rows // th, W // tw, th, tw, *s)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(R, *s)
+
+    return fwd, inv
+
+
+def intersect_scene_sweep(scene: Scene, origin, direction, cfg: RenderConfig,
+                          interpret: bool | None = None, tables=None):
+    """Closest-hit query via the cluster-sweep kernel.
+
+    ``tables``: optional prebuilt (tris, cmin, cmax) from
+    kernels.cluster.build_cluster_tables — render_frame/render_rows build
+    them once per frame and bind them via make_intersect_fn so the (small
+    but not free) table derivation is not repeated per bounce.
+    """
+    if interpret is None:
+        # Mosaic compiles only for TPU; CPU (tests, dev) uses the interpreter
+        interpret = jax.default_backend() != "tpu"
+    sg = jax.lax.stop_gradient
+
+    t_s_ng, sph_center, sph_radius, sph_material = _sphere_closest(
+        scene, origin, direction, cfg)
+
+    if tables is None:
+        tables = cluster.build_cluster_tables(jax.tree.map(sg, scene.mesh))
+    tris, cmin, cmax = tables
+    perm = _tile_permuter(origin.shape[0], cfg)
+    if perm is None:
+        pay = cluster.cluster_sweep(sg(origin), sg(direction), t_s_ng,
+                                    tris, cmin, cmax, interpret=interpret)
+    else:
+        fwd, inv = perm
+        pay = inv(cluster.cluster_sweep(fwd(sg(origin)), fwd(sg(direction)),
+                                        fwd(t_s_ng), tris, cmin, cmax,
+                                        interpret=interpret))
+
+    t_tr_ng = pay[:, 0]
+    tri_hit = pay[:, 11] >= F32(0.0)
+    use_tri = tri_hit & (t_tr_ng < t_s_ng)
+    hit = jnp.minimum(t_tr_ng, t_s_ng) < KINF
+
+    # ---------- differentiable re-shade ----------
+    # winner triangle coordinates are detached payload values; guard misses
+    # with a canonical triangle so reverse mode never sees NaN (0*inf)
+    unit = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], F32)
+    safe = tri_hit[:, None]
+    a = jnp.where(safe, pay[:, 1:4], unit[0])
+    b = jnp.where(safe, pay[:, 4:7], unit[1])
+    c = jnp.where(safe, pay[:, 7:10], unit[2])
+    t_tri_w, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
+
+    near_w, far_w = ix.ray_sphere(origin, direction, sph_center, sph_radius)
+    if cfg.sphere_near_root_only:
+        t_s = near_w
+    else:
+        t_s = jnp.where(sg(near_w) > F32(0.0), near_w, far_w)
+
+    t_best = jnp.where(use_tri, t_tri_w, t_s)
+    t_safe = jnp.where(hit, t_best, F32(1.0))
+    p = origin + t_safe[:, None] * direction
+
+    safe_radius = jnp.where(sg(sph_radius) > F32(0.0), sph_radius, F32(1.0))
+    n_sph = (p - sph_center) / safe_radius[:, None]
+    n_tri = ix.normalize(jnp.cross(b - a, c - a), eps=F32(1e-20))
+
+    normal = jnp.where(use_tri[:, None], n_tri, n_sph)
+    material = jnp.where(use_tri, pay[:, 10].astype(I32), sph_material)
+
+    front = jnp.sum(sg(direction) * sg(normal), axis=-1) < F32(0.0)
+    normal = jnp.where(front[:, None], normal, -normal)
+    normal = jnp.where(hit[:, None], normal, jnp.array([0.0, 0.0, 1.0], F32))
+
+    return golden.HitRecord(t=t_safe, p=p, normal=normal, hit=hit,
+                            front=front, material=material.astype(I32))
+
+
+def occluded_sweep(scene: Scene, origin, direction, max_dist,
+                   cfg: RenderConfig, interpret: bool | None = None,
+                   tables=None):
+    """Any-hit shadow query for NEE: spheres brute + cluster sweep bounded
+    at max_dist (the t_init bound doubles as the early-out: triangles past
+    the light never update the payload)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sg = jax.lax.stop_gradient
+    origin, direction = sg(origin), sg(direction)
+    max_dist = sg(max_dist)
+    sph = scene.spheres
+
+    near, far = ix.ray_sphere_sweep(origin, direction,
+                                    sg(sph.position), sg(sph.radius))
+    s_live = (jnp.arange(sph.capacity, dtype=I32) < sph.count)[None, :]
+    if cfg.sphere_near_root_only:
+        t_cand = near
+    else:
+        t_cand = jnp.where(near > F32(0.0), near, far)
+    s_occ = jnp.any(s_live & (t_cand > F32(0.0))
+                    & (t_cand < max_dist[:, None]), axis=-1)
+
+    if tables is None:
+        tables = cluster.build_cluster_tables(jax.tree.map(sg, scene.mesh))
+    tris, cmin, cmax = tables
+    perm = _tile_permuter(origin.shape[0], cfg)
+    if perm is None:
+        pay = cluster.cluster_sweep(origin, direction, max_dist,
+                                    tris, cmin, cmax, interpret=interpret)
+    else:
+        fwd, inv = perm
+        pay = inv(cluster.cluster_sweep(fwd(origin), fwd(direction),
+                                        fwd(max_dist), tris, cmin, cmax,
+                                        interpret=interpret))
+    return s_occ | (pay[:, 11] >= F32(0.0))
+
+
+intersect_scene_sweep.occlusion_fn = occluded_sweep
+
+
+def make_intersect_fn(scene: Scene):
+    """intersect_fn with the cluster tables hoisted: built once per frame
+    (a pure function of the traced scene, so once per jitted graph), shared
+    by every bounce's closest-hit and NEE shadow query."""
+    tables = cluster.build_cluster_tables(
+        jax.tree.map(jax.lax.stop_gradient, scene.mesh))
+
+    def fn(scene, origin, direction, cfg):
+        return intersect_scene_sweep(scene, origin, direction, cfg,
+                                     tables=tables)
+
+    fn.occlusion_fn = lambda scene, o, d, maxd, cfg: occluded_sweep(
+        scene, o, d, maxd, cfg, tables=tables)
+    return fn
+
+
+def trace_rays(scene, origin, direction, seed, cfg):
+    return golden.trace_rays(scene, origin, direction, seed, cfg,
+                             intersect_fn=make_intersect_fn(scene))
+
+
+def render_rows(scene, mats, cfg, frame_count, y0, num_rows):
+    return golden.render_rows(scene, mats, cfg, frame_count, y0, num_rows,
+                              intersect_fn=make_intersect_fn(scene))
+
+
+def render_frame(scene, mats, cfg, frame_count):
+    return golden.render_frame(scene, mats, cfg, frame_count,
+                               intersect_fn=make_intersect_fn(scene))
