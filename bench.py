@@ -160,12 +160,86 @@ def main():
     baseline = _read_recorded_baseline(mode, size, args.scene)
     vs = mrays / baseline if baseline else 1.0
 
-    print(json.dumps({
+    record = {
         "metric": f"Mrays/s/chip {mode} ({size}^2 {args.scene}, {cfg.max_bounces} bounces)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+
+    # honest-denominator companion: Mrays/s counting only ALIVE segments
+    # (post-RR/miss); identical to the dispatch number when nothing
+    # terminates early (VERDICT round-2 weak #5)
+    from wc_path_tracer_tpu.render import golden
+    try:
+        alive = int(jax.jit(golden.count_alive_segments,
+                            static_argnames="cfg")(scene, mats, cfg,
+                                                   jnp.uint32(1)))
+        record["alive_fraction"] = round(alive / segments, 4)
+        record["alive_mrays"] = round(mrays * alive / segments, 3)
+    except Exception as e:  # diagnostic only — never fail the bench row
+        print(f"bench: alive-segment count failed: {e}", file=sys.stderr)
+
+    # BVH-path row: the flagship bench must also exercise the meshed-scene
+    # traversal path (VERDICT round-2 ask #9) — measured as a sub-record of
+    # the single driver-visible JSON line
+    if args.scene == "cornell" and not args.small and args.renderer == "auto":
+        try:
+            record["bvh_row"] = _bvh_row(args)
+        except Exception as e:
+            print(f"bench: bvh row failed: {e}", file=sys.stderr)
+
+    print(json.dumps(record))
+
+
+def _bvh_row(args):
+    """512^2 bunny (21.8k tris) fwd+bwd through the cluster-sweep path."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+
+    from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+    from wc_path_tracer_tpu.render import dispatch
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    from wc_path_tracer_tpu.utils.config import RenderConfig
+
+    scene, cam = bunny_like_scene(5)
+    cfg = RenderConfig(width=512, height=512, samples=1, max_bounces=4,
+                       sky="gradient")
+    mats = camera_matrices(cam, 1.0)
+    render_frame = dispatch.get_render_frame("auto", scene, cfg)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    trainable = ("albedo", "emission", "emission_strength", "roughness")
+
+    def loss_fn(params, scene, mats, frame, target):
+        m = dataclasses.replace(scene.materials, **params)
+        s = dataclasses.replace(scene, materials=m)
+        img = render_frame(s, mats, cfg, frame)
+        return jnp.mean((img - target) ** 2)
+
+    K = 3
+
+    @jax.jit
+    def run(scene, mats, target):
+        def body(acc, frame):
+            params = {k: getattr(scene.materials, k) for k in trainable}
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scene, mats, frame, target)
+            return acc + loss + sum(jnp.sum(g)
+                                    for g in jax.tree.leaves(grads)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(1, K + 1, dtype=jnp.uint32))
+        return acc
+
+    float(run(scene, mats, target))
+    best = min(float_timed(run, scene, mats, target) for _ in range(2))
+    segments = cfg.width * cfg.height * (cfg.max_bounces + 1)
+    return {
+        "metric": "Mrays/s/chip fwd+bwd (512^2 bunny-21.8k-tris, 4 bounces,"
+                  " cluster-sweep)",
+        "value": round(segments / (best / K) / 1e6, 3),
+        "unit": "Mrays/s",
+    }
 
 
 def float_timed(fn, *args):

@@ -1,0 +1,189 @@
+"""Geometry/camera gradients + training checkpoint/resume.
+
+VERDICT round-2 asks #3 and #7: trainables generalized beyond material
+fields (sphere position/radius, mesh vertices, camera), finite-difference
+agreement for interior parameters, an end-to-end recovery of a sphere
+position, and kill-and-resume reproducing the uninterrupted loss curve.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wc_path_tracer_tpu.models import builtin
+from wc_path_tracer_tpu.optim import params as reg
+from wc_path_tracer_tpu.optim.inverse import (InverseRenderConfig,
+                                              run_inverse_rendering)
+from wc_path_tracer_tpu.parallel import mesh as pmesh
+from wc_path_tracer_tpu.parallel import render as prender
+from wc_path_tracer_tpu.render import golden
+from wc_path_tracer_tpu.scene.camera import Camera, camera_matrices
+from wc_path_tracer_tpu.scene.types import (MATERIAL_LAMBERTIAN,
+                                            SceneBuilder)
+from wc_path_tracer_tpu.utils.config import RenderConfig
+
+
+def _simple_scene():
+    """One lambertian sphere head-on + one emissive quad overhead: smooth
+    shading, plenty of interior (non-silhouette) pixels."""
+    b = SceneBuilder()
+    m = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.6, 0.4, 0.3))
+    lm = b.add_material(MATERIAL_LAMBERTIAN, emission=(1.0, 1.0, 1.0),
+                        emission_strength=3.0)
+    b.add_sphere((0.0, 0.0, -3.0), 1.0, m)
+    quad = np.array([[-2, 3, -5], [2, 3, -5], [2, 3, -1],
+                     [-2, 3, -5], [2, 3, -1], [-2, 3, -1]], np.float32)
+    b.add_mesh(quad, np.arange(6, dtype=np.int32), tri_material=lm)
+    return b.build(), Camera.create(position=(0.0, 0.0, 1.0))
+
+
+# NEE on: with unidirectional transport only, a lambertian scene's radiance
+# depends on geometry purely through *detached* hit/miss events (the
+# detached-argmin estimator correctly returns zero there).  NEE's geometric
+# term cos_surf*cos_light/d^2 is the continuous interior path that carries
+# geometry/camera gradients.
+CFG = RenderConfig(width=24, height=24, samples=1, max_bounces=2,
+                   sky="black", use_nee=True)
+
+
+def _loss_fn(trainable):
+    scene, cam = _simple_scene()
+    mats = camera_matrices(cam, 1.0)
+    target = golden.render_frame(scene, mats, CFG, 0) * 0.5  # nonzero resid
+
+    def img_fn(params):
+        s, c = reg.apply_params(scene, cam, params)
+        m = camera_matrices(c, 1.0)
+        return golden.render_frame(s, m, CFG, 0)
+
+    def loss(params):
+        return jnp.mean((img_fn(params) - target) ** 2)
+
+    return loss, img_fn, target, reg.get_params(scene, cam, trainable)
+
+
+@pytest.mark.parametrize("trainable,eps,rtol", [
+    (("sphere_position",), 3e-3, 0.12),
+    (("sphere_radius",), 3e-3, 0.12),
+    (("vertices",), 1e-3, 0.15),
+    (("camera_position",), 3e-3, 0.12),
+    (("camera_yaw",), 1e-2, 0.15),
+    (("camera_fov",), 1e-2, 0.15),
+])
+def test_geometry_grads_match_finite_differences(trainable, eps, rtol):
+    """Autodiff vs central differences projected onto a random direction.
+
+    FD is taken at *image* level and contracted with the exact dL/dimg —
+    loss-level central differences cancel catastrophically in f32 (the loss
+    change is ~1e-5 of the loss).  Interior-parameter agreement only: the
+    detached estimator carries no silhouette term, so tolerance is loose
+    and the fixed-seed scene keeps silhouette pixels a small fraction.
+    """
+    loss, img_fn, target, params = _loss_fn(trainable)
+    g = jax.grad(loss)(params)
+
+    rng = np.random.default_rng(0)
+    direction = {k: jnp.asarray(rng.normal(size=np.shape(v)), jnp.float32)
+                 for k, v in params.items()}
+    ad = sum(float(jnp.sum(g[k] * direction[k])) for k in params)
+
+    def shift(sign):
+        return {k: v + sign * eps * direction[k] for k, v in params.items()}
+
+    img0 = img_fn(params)
+    dldi = 2.0 * (img0 - target) / img0.size          # exact dL/dimg
+    dimg = (img_fn(shift(+1)) - img_fn(shift(-1))) / (2 * eps)
+    # interior-only comparison: pixels whose hit state flips under the
+    # perturbation jump by O(1) radiance — that's the (unestimated)
+    # silhouette boundary term, not the interior derivative under test
+    interior = jnp.abs(dimg) * (2 * eps) < 0.05
+    fd = float(jnp.sum(jnp.where(interior, dldi * dimg, 0.0)))
+    ad_interior = ad  # autodiff carries no boundary term by construction
+    assert np.isfinite(ad) and np.isfinite(fd)
+    assert abs(ad_interior - fd) <= rtol * max(abs(fd), 1e-7), (ad, fd)
+
+
+def test_invert_recovers_sphere_position():
+    """End-to-end: recover a sphere position shifted by 0.25 units."""
+    scene, cam = _simple_scene()
+    mats = camera_matrices(cam, 1.0)
+    target = golden.render_frame(scene, mats, CFG, 0)
+
+    true_pos = np.asarray(scene.spheres.position)
+    wrong = dataclasses.replace(scene, spheres=dataclasses.replace(
+        scene.spheres,
+        position=scene.spheres.position
+        + jnp.asarray([[0.25, -0.2, 0.0], [0, 0, 0]], jnp.float32)[
+            : scene.spheres.capacity]))
+
+    inv = InverseRenderConfig(trainable=("sphere_position",),
+                              learning_rate=3e-2, steps=60, vary_seed=False,
+                              log_every=30)
+    out, _, hist = run_inverse_rendering(wrong, cam, target, CFG, inv)
+    err0 = np.linalg.norm(np.asarray(wrong.spheres.position)[0]
+                          - true_pos[0])
+    err1 = np.linalg.norm(np.asarray(out.spheres.position)[0] - true_pos[0])
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.2, hist
+    assert err1 < err0 / 3, (err0, err1)
+
+
+def test_sharded_geometry_grads_match_unsharded(tmp_path):
+    """8-device dp grads for geometry params == single-device grads."""
+    scene, cam = _simple_scene()
+    target = golden.render_frame(scene, camera_matrices(cam, 1.0),
+                                 CFG, 0) * 0.5
+    trainable = ("sphere_position", "vertices", "camera_position")
+
+    mesh8 = pmesh.make_mesh()
+    lg8 = prender.sharded_scene_loss_grad(mesh8, CFG, trainable)
+    loss8, g8 = lg8(scene, cam, jnp.uint32(0), target)
+
+    loss_fn, _, _, params = _loss_fn(trainable)
+    g1 = jax.grad(loss_fn)(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g8[k]), np.asarray(g1[k]),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_invert_checkpoint_resume_reproduces_loss_curve(tmp_path):
+    """Kill-and-resume: 12 steps straight == 6 steps + resume 6 steps."""
+    scene, cam = _simple_scene()
+    mats = camera_matrices(cam, 1.0)
+    target = golden.render_frame(scene, mats, CFG, 0)
+    wrong = dataclasses.replace(scene, materials=dataclasses.replace(
+        scene.materials,
+        emission_strength=scene.materials.emission_strength * 0.3))
+
+    def cfg_for(steps):
+        return InverseRenderConfig(trainable=("emission_strength",),
+                                   learning_rate=5e-2, steps=steps,
+                                   vary_seed=True, log_every=1)
+
+    out_a, _, hist_a = run_inverse_rendering(wrong, cam, target, CFG,
+                                             cfg_for(12))
+
+    ck = str(tmp_path / "ck")
+    run_inverse_rendering(wrong, cam, target, CFG, cfg_for(6),
+                          checkpoint_dir=ck, checkpoint_every=3)
+    out_b, _, hist_b = run_inverse_rendering(wrong, cam, target, CFG,
+                                             cfg_for(12),
+                                             checkpoint_dir=ck, resume=True)
+    # resumed run continues at step 6 and lands on the same trajectory
+    assert hist_b[0]["step"] == 6
+    np.testing.assert_allclose(
+        np.asarray(out_b.materials.emission_strength),
+        np.asarray(out_a.materials.emission_strength), rtol=1e-6)
+    full = {h["step"]: h["loss"] for h in hist_a}
+    for h in hist_b:
+        np.testing.assert_allclose(h["loss"], full[h["step"]], rtol=1e-5)
+
+
+def test_unknown_trainable_rejected():
+    with pytest.raises(ValueError, match="unknown trainable"):
+        reg.validate(("albedo", "nope"))
+    scene, cam = _simple_scene()
+    with pytest.raises(ValueError, match="requires a scene.camera.Camera"):
+        reg.get_params(scene, camera_matrices(cam, 1.0), ("camera_yaw",))

@@ -73,7 +73,7 @@ def test_inverse_rendering_recovers_emission():
     inv = InverseRenderConfig(trainable=("emission_strength",),
                               learning_rate=0.1, steps=40, vary_seed=False,
                               log_every=20)
-    out, hist = run_inverse_rendering(wrong, mats, target, cfg, inv)
+    out, _, hist = run_inverse_rendering(wrong, mats, target, cfg, inv)
     assert hist[-1]["loss"] < hist[0]["loss"] * 0.1
     # material 2 is the emissive "Left": strength should move toward 1.0
     got = float(out.materials.emission_strength[2])

@@ -141,6 +141,22 @@ def test_sweep_occlusion_matches_brute():
     np.testing.assert_array_equal(np.asarray(occ_b), np.asarray(occ_s))
 
 
+def test_sweep_reference_matches_kernel():
+    """kernels.cluster.sweep_reference (the shard_map-on-CPU fallback and
+    kernel oracle) must produce the kernel's payload."""
+    import jax.numpy as jnp
+    from wc_path_tracer_tpu.kernels import cluster
+    from wc_path_tracer_tpu.ops import intersect as ix
+    scene = random_soup_scene(n_tris=100, seed=9)
+    o, d = random_rays(300, 12)
+    t_init = jnp.full((300,), ix.KINFINITY, jnp.float32)
+    tables = cluster.build_cluster_tables(scene.mesh)
+    pk = cluster.cluster_sweep(o, d, t_init, *tables, interpret=True)
+    pr = cluster.sweep_reference(o, d, t_init, *tables)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(pr), rtol=1e-6,
+                               atol=1e-6)
+
+
 def test_dispatch_auto_selects_sweep_for_big_meshes():
     from wc_path_tracer_tpu.render import dispatch
     scene, _ = bunny_like_scene(3)   # 1280 tris > BRUTE_FORCE_MAX_TRIS

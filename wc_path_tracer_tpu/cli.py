@@ -156,14 +156,18 @@ def cmd_invert(args):
                               learning_rate=args.lr, steps=args.steps,
                               log_every=args.log_every)
     mesh = pmesh.make_mesh()
-    scene, history = run_inverse_rendering(
-        scene, mats, target, cfg, inv, mesh=mesh,
-        log_fn=lambda rec: log.log("opt_step", **rec))
+    # pass the Camera (not prebuilt matrices) so camera_* trainables work
+    scene, cam, history = run_inverse_rendering(
+        scene, cam, target, cfg, inv, mesh=mesh,
+        log_fn=lambda rec: log.log("opt_step", **rec),
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume)
     print(f"final loss {history[-1]['loss']:.6g}", file=sys.stderr)
 
     if args.out_dir:
         from wc_path_tracer_tpu.utils.checkpoint import save_pytree
-        save_pytree(args.out_dir, {"scene": scene})
+        save_pytree(args.out_dir, {"scene": scene, "camera": cam})
         print(f"optimized scene -> {args.out_dir}", file=sys.stderr)
     return history
 
@@ -199,6 +203,12 @@ def main(argv=None):
     pi.add_argument("--out-dir", help="save optimized scene pytree here")
     pi.add_argument("--metrics", help="JSONL metrics path")
     pi.add_argument("--log-every", type=int, default=10)
+    pi.add_argument("--checkpoint-dir",
+                    help="persist (params, opt_state, step) here")
+    pi.add_argument("--checkpoint-every", type=int, default=0,
+                    help="checkpoint period in steps (0 = final only)")
+    pi.add_argument("--resume", action="store_true",
+                    help="resume an interrupted run from --checkpoint-dir")
     pi.set_defaults(fn=cmd_invert)
 
     pn = sub.add_parser("info", help="device/mesh info")

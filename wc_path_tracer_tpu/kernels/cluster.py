@@ -228,6 +228,42 @@ def _sweep_kernel(nact_ref, clist_ref, bt0_ref, rays_ref, tris_ref, out_ref):
     jax.lax.while_loop(cond, body, (jnp.int32(0), nact == 0))
 
 
+def sweep_reference(origin, direction, t_init, tris, cmin, cmax):
+    """Pure-jnp reference implementation of cluster_sweep (same payload).
+
+    Used (a) as the oracle for kernel tests and (b) in place of the Pallas
+    interpreter when tracing under shard_map on CPU, where interpret-mode
+    kernels cannot carry varying-manual-axes types.  Selection is global
+    first-min (brute semantics); the kernel resolves exact-t ties across
+    clusters by front-to-back processing order instead — identical except
+    on measure-zero exact ties.
+    """
+    C = cmin.shape[0]
+    tt = tris.reshape(C, CLUSTER_ROWS, CLUSTER_TRIS)
+    comp = tt.transpose(0, 2, 1).reshape(C * CLUSTER_TRIS, CLUSTER_ROWS)
+    a, b, c = comp[:, 0:3], comp[:, 3:6], comp[:, 6:9]
+    mat = comp[:, 9]
+    t, hit = ix.ray_triangle_sweep(origin, direction, a, b, c)
+    tm = jnp.where(hit & (t < t_init[:, None]), t, KINF)
+    T = tm.shape[-1]
+    t_min = jnp.min(tm, axis=-1)
+    iota = jnp.arange(T, dtype=jnp.int32)
+    idx = jnp.min(jnp.where(tm == t_min[:, None], iota[None, :],
+                            np.int32(T)), axis=-1)
+    oh = (iota[None, :] == idx[:, None]).astype(jnp.float32)
+    payload_tbl = jnp.concatenate(
+        [a, b, c, mat[:, None],
+         jnp.arange(T, dtype=jnp.float32)[:, None]], axis=1)  # (T, 11)
+    g = jnp.matmul(oh, payload_tbl, precision=jax.lax.Precision.HIGHEST)
+    found = t_min < t_init
+    out = jnp.concatenate([
+        jnp.where(found, t_min, t_init)[:, None],
+        g[:, 0:10],
+        jnp.where(found, g[:, 10], F32(-1.0))[:, None],
+        jnp.zeros((origin.shape[0], 4), jnp.float32)], axis=1)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def cluster_sweep(origin, direction, t_init, tris, cmin, cmax,
                   interpret: bool = False):
@@ -290,12 +326,36 @@ def cluster_sweep(origin, direction, t_init, tris, cmin, cmax,
                                lambda r, n, c, b: (r, 0, 0),
                                memory_space=pltpu.VMEM),
     )
+    # under shard_map the output must declare how it varies over mesh axes
+    # (it varies exactly like the rays; the scene tables are replicated),
+    # and every operand must carry the same varying-manual-axes type —
+    # promote the replicated tables with pvary
+    clist = order.reshape(-1).astype(jnp.int32)
+    bt0_flat = bt0_sorted.reshape(-1)
+    vma = getattr(jax.typeof(rays), "vma", frozenset()) or frozenset()
+    if vma and interpret:
+        # interpret-mode kernels cannot be traced with varying-manual-axes
+        # types (shard_map on CPU); the jnp reference is semantically
+        # identical and exercises the same cull
+        pay = sweep_reference(origin, direction, t_init, tris, cmin, cmax)
+        return pay[:R]
+    if vma:
+        def ensure(x):  # promote only the axes an operand is missing
+            cur = getattr(jax.typeof(x), "vma", frozenset()) or frozenset()
+            missing = tuple(vma - cur)
+            return jax.lax.pvary(x, missing) if missing else x
+
+        nact, clist, bt0_flat, tris = map(ensure,
+                                          (nact, clist, bt0_flat, tris))
+        out_shape = jax.ShapeDtypeStruct((RB, RAY_BLOCK, 16), jnp.float32,
+                                         vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((RB, RAY_BLOCK, 16), jnp.float32)
     payload = pl.pallas_call(
         _sweep_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((RB, RAY_BLOCK, 16), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(nact, order.reshape(-1).astype(jnp.int32),
-      bt0_sorted.reshape(-1), rays, tris)
+    )(nact, clist, bt0_flat, rays, tris)
 
     return payload.reshape(Rp, 16)[:R]

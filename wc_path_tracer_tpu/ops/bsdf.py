@@ -104,3 +104,61 @@ def ggx_sample(normal, wo, albedo, rough, metallic, u1, u2):
 def lambert_brdf_over_pi(albedo):
     """Lambertian BRDF value: albedo / pi (for NEE direct-light estimates)."""
     return albedo / PI
+
+
+def lambert_pdf(normal, wi):
+    """Cosine-hemisphere pdf (solid angle): max(cos, 0) / pi."""
+    return jnp.clip(_dot(normal, wi), F32(0.0), None) / PI
+
+
+def ggx_d(cos_h, rough):
+    """GGX normal distribution D(h); alpha = rough^2 (same convention as
+    ggx_sample_half, whose h-sampling pdf is D(h) * cos_h)."""
+    alpha = jnp.maximum(rough * rough, F32(1e-4))
+    a2 = alpha * alpha
+    c = jnp.clip(cos_h, F32(0.0), F32(1.0))
+    d = c * c * (a2 - F32(1.0)) + F32(1.0)
+    return a2 / jnp.maximum(PI * d * d, F32(1e-12))
+
+
+def ggx_pdf(normal, wo, wi, rough):
+    """Solid-angle pdf of ggx_sample producing ``wi`` given ``wo``.
+
+    NDF half-vector sampling: pdf(wi) = D(h) cos_h / (4 dot(wo, h)).
+    Zero for directions under the surface (the sampler marks those invalid).
+    """
+    from wc_path_tracer_tpu.ops.intersect import safe_sqrt
+    h = wo + wi
+    hn = h / jnp.maximum(
+        safe_sqrt(_dot(h, h))[..., None], F32(1e-12))
+    cos_h = _dot(hn, normal)
+    cos_oh = _dot(wo, hn)
+    pdf = ggx_d(cos_h, rough) * jnp.clip(cos_h, F32(0.0), None) \
+        / jnp.maximum(F32(4.0) * cos_oh, F32(1e-6))
+    valid = (_dot(wi, normal) > F32(0.0)) & (_dot(wo, normal) > F32(0.0)) \
+        & (cos_oh > F32(0.0))
+    return jnp.where(valid, pdf, F32(0.0))
+
+
+def ggx_eval(normal, wo, wi, albedo, rough, metallic):
+    """GGX conductor BRDF value f(wo, wi) (for NEE direct-light estimates).
+
+    f = D(h) F(dot(wo,h)) G1(wo) G1(wi) / (4 cos_o cos_i); callers multiply
+    by the NEE geometric term which already contains cos_i.
+    """
+    from wc_path_tracer_tpu.ops.intersect import safe_sqrt
+    h = wo + wi
+    hn = h / jnp.maximum(safe_sqrt(_dot(h, h))[..., None], F32(1e-12))
+    cos_h = _dot(hn, normal)
+    cos_oh = _dot(wo, hn)
+    cos_o = _dot(wo, normal)
+    cos_i = _dot(wi, normal)
+    f0 = (F32(0.04) * (F32(1.0) - metallic[..., None])
+          + albedo * metallic[..., None])
+    F = schlick_fresnel(f0, cos_oh)
+    D = ggx_d(cos_h, rough)
+    G = smith_g1(cos_o, rough) * smith_g1(cos_i, rough)
+    denom = jnp.maximum(F32(4.0) * cos_o * cos_i, F32(1e-6))
+    valid = (cos_i > F32(0.0)) & (cos_o > F32(0.0)) & (cos_oh > F32(0.0))
+    return jnp.where(valid[..., None], F * (D * G / denom)[..., None],
+                     F32(0.0))

@@ -98,6 +98,30 @@ def ray_triangle(origin, direction, a, b, c):
     return t, u, v, hit
 
 
+def ray_triangle_reshade(origin, direction, a, b, c):
+    """ray_triangle with a guarded determinant, for differentiable re-shade.
+
+    The closest-hit *search* keeps the reference's exact IEEE semantics
+    (degenerate det -> inf/NaN -> miss).  The *re-shade* of the detached
+    winner must not: lanes with no real winner (miss lanes re-shading a
+    placeholder triangle, or near-parallel rays) would put inf/NaN into the
+    unselected branch of the downstream jnp.where, and reverse mode turns
+    0 * inf into NaN for every parameter upstream once origin/direction are
+    differentiable.  Guarding det changes the forward value only for lanes
+    whose result is masked out anyway (a detached search never selects a
+    degenerate winner as a hit).  Returns t only.
+    """
+    edge_ab = b - a
+    edge_ac = c - a
+    oa = origin - a
+    pvec = jnp.cross(direction, edge_ac)
+    det = jnp.sum(edge_ab * pvec, axis=-1)
+    safe_det = jnp.where(jnp.abs(det) < F32(1e-12), F32(1.0), det)
+    inv_det = F32(1.0) / safe_det   # reciprocal form: bit-identical to
+    qvec = jnp.cross(oa, edge_ab)   # ray_triangle for non-degenerate lanes
+    return jnp.sum(edge_ac * qvec, axis=-1) * inv_det
+
+
 def ray_triangle_sweep(origin, direction, a, b, c):
     """All-pairs Möller-Trumbore sweep: (R,3) rays x (T,3) triangles -> (R,T).
 

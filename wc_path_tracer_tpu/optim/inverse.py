@@ -6,15 +6,22 @@ at all (SURVEY §2.6) — this subsystem is pure extension, built on:
 
 - render/golden.py's differentiable transport (detached-argmin estimator:
   exact in expectation for interior parameters)
+- optim/params.py's trainable registry: material fields, sphere
+  position/radius, mesh vertices, camera parameters
 - parallel/render.py's dp-sharded loss/grad with implicit psum all-reduce
 - optax optimizers, with parameter-range projections after each step
   (albedo/roughness clamped to [0,1] etc. — the headless analog of the
   reference property editor's @Range annotations, src/ui_utils.jai:120-140)
+- checkpoint/resume: (params, opt_state, step) persist to a directory every
+  ``checkpoint_every`` steps; ``resume=True`` continues an interrupted run
+  bit-exactly (the PRNG frame is the step index, so the stochastic gradient
+  sequence is reproduced).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Optional, Sequence
 
@@ -22,23 +29,15 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from wc_path_tracer_tpu.optim import params as reg
 from wc_path_tracer_tpu.parallel import mesh as pmesh
 from wc_path_tracer_tpu.parallel import render as prender
 from wc_path_tracer_tpu.scene.types import Scene
+from wc_path_tracer_tpu.utils.checkpoint import load_pytree, save_pytree
 from wc_path_tracer_tpu.utils.config import RenderConfig
 
-
-# projection ranges mirroring the reference's @Range annotations
-_PARAM_RANGES = {
-    "albedo": (0.0, 1.0),
-    "emission": (0.0, None),
-    "emission_strength": (0.0, None),
-    "metallic": (0.0, 1.0),
-    "roughness": (0.0, 1.0),
-    "absorption": (0.0, None),
-    "absorption_strength": (0.0, None),
-    "ior": (1.0, None),
-}
+# re-export: the projection table used to live here (round 1/2 API)
+project_params = reg.project_params
 
 
 @dataclasses.dataclass
@@ -50,50 +49,52 @@ class InverseRenderConfig:
     log_every: int = 10
 
 
-def project_params(params: dict) -> dict:
-    out = {}
-    for k, v in params.items():
-        lo, hi = _PARAM_RANGES.get(k, (None, None))
-        if lo is not None:
-            v = jnp.maximum(v, lo)
-        if hi is not None:
-            v = jnp.minimum(v, hi)
-        out[k] = v
-    return out
-
-
-def run_inverse_rendering(scene: Scene, mats, target, render_cfg: RenderConfig,
+def run_inverse_rendering(scene: Scene, camera, target,
+                          render_cfg: RenderConfig,
                           inv_cfg: Optional[InverseRenderConfig] = None,
-                          mesh=None, log_fn: Optional[Callable] = None):
-    """Optimize ``inv_cfg.trainable`` material fields of ``scene`` so renders
-    match ``target`` (H, W, 3).
+                          mesh=None, log_fn: Optional[Callable] = None,
+                          checkpoint_dir: Optional[str] = None,
+                          checkpoint_every: int = 0,
+                          resume: bool = False):
+    """Optimize ``inv_cfg.trainable`` parameters of (scene, camera) so
+    renders match ``target`` (H, W, 3).
 
-    Returns (optimized_scene, history) where history is a list of per-step
-    dicts (step, loss, grad_norm, wall_s).
+    ``camera`` may be a scene.camera.Camera (required for camera_*
+    trainables; matrices are rebuilt differentiably per step) or a prebuilt
+    CameraMatrices (material/geometry trainables only).
+
+    Returns (optimized_scene, optimized_camera, history); history is a list
+    of per-step dicts (step, loss, grad_norm, wall_s).
     """
     inv_cfg = inv_cfg or InverseRenderConfig()
     mesh = mesh if mesh is not None else pmesh.make_mesh()
-    trainable = tuple(inv_cfg.trainable)
+    trainable = reg.validate(inv_cfg.trainable)
 
     opt = optax.adam(inv_cfg.learning_rate)
-    loss_grad = prender.sharded_render_loss_grad(mesh, render_cfg, trainable)
+    loss_grad = prender.sharded_scene_loss_grad(mesh, render_cfg, trainable)
 
-    params = {k: getattr(scene.materials, k) for k in trainable}
+    params = reg.get_params(scene, camera, trainable)
     opt_state = opt.init(params)
+    start_step = 0
+    if resume:
+        if not checkpoint_dir:
+            raise ValueError("resume=True requires checkpoint_dir")
+        state, start_step = load_training_state(
+            checkpoint_dir, params, opt_state)
+        params, opt_state = state["params"], state["opt_state"]
 
     @jax.jit
     def update(params, opt_state, grads):
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return project_params(params), opt_state
+        return reg.project_params(params), opt_state
 
     history = []
     t_start = time.perf_counter()
-    for step in range(inv_cfg.steps):
+    for step in range(start_step, inv_cfg.steps):
         frame = jnp.uint32(step if inv_cfg.vary_seed else 0)
-        s = dataclasses.replace(
-            scene, materials=dataclasses.replace(scene.materials, **params))
-        loss, grads = loss_grad(s, mats, frame, target)
+        s, cam = reg.apply_params(scene, camera, params)
+        loss, grads = loss_grad(s, cam, frame, target)
         params, opt_state = update(params, opt_state, grads)
         if step % inv_cfg.log_every == 0 or step == inv_cfg.steps - 1:
             gn = float(optax.global_norm(grads))
@@ -102,7 +103,27 @@ def run_inverse_rendering(scene: Scene, mats, target, render_cfg: RenderConfig,
             history.append(rec)
             if log_fn is not None:
                 log_fn(rec)
+        if (checkpoint_dir and checkpoint_every
+                and (step + 1) % checkpoint_every == 0):
+            save_training_state(checkpoint_dir, params, opt_state, step + 1)
 
-    scene = dataclasses.replace(
-        scene, materials=dataclasses.replace(scene.materials, **params))
-    return scene, history
+    if checkpoint_dir:
+        save_training_state(checkpoint_dir, params, opt_state, inv_cfg.steps)
+    scene, camera = reg.apply_params(scene, camera, params)
+    return scene, camera, history
+
+
+def save_training_state(directory: str, params, opt_state, step: int):
+    """Persist the full resumable training state: trainable params, optax
+    state (moments + counts), and the step index (= PRNG frame)."""
+    save_pytree(directory, {"params": params, "opt_state": opt_state},
+                extra_meta={"step": int(step)})
+
+
+def load_training_state(directory: str, params_template, opt_state_template):
+    import json
+    state = load_pytree(directory, {"params": params_template,
+                                    "opt_state": opt_state_template})
+    with open(os.path.join(directory, "manifest.json")) as f:
+        step = int(json.load(f)["extra"]["step"])
+    return state, step

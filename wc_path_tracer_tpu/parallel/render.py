@@ -34,15 +34,22 @@ def _band(cfg: RenderConfig, n_dev: int) -> int:
     return cfg.height // n_dev
 
 
-def sharded_render_frame(mesh: Mesh, cfg: RenderConfig):
+def sharded_render_frame(mesh: Mesh, cfg: RenderConfig,
+                         renderer: str = "golden"):
     """Returns jitted (scene, mats, frame_count) -> (H, W, 3) image sharded
-    by rows over ``dp``."""
+    by rows over ``dp``.  ``renderer``: "golden" (brute oracle) or "sweep"
+    (cluster-sweep traversal for meshed scenes)."""
     n_dev = mesh.devices.size
     band = _band(cfg, n_dev)
+    if renderer == "sweep":
+        from wc_path_tracer_tpu.render import sweep as _sweep
+        rows_fn = _sweep.render_rows
+    else:
+        rows_fn = golden.render_rows
 
     def shard_body(scene, mats, frame_count):
         y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * np.uint32(band)
-        return golden.render_rows(scene, mats, cfg, frame_count, y0, band)
+        return rows_fn(scene, mats, cfg, frame_count, y0, band)
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
@@ -103,6 +110,58 @@ def sharded_render_loss_grad(mesh: Mesh, cfg: RenderConfig,
         shard_body, mesh=mesh,
         in_specs=(P(), P(), P(), P(DP_AXIS)),  # target sharded by rows
         out_specs=(P(), P()),                  # loss + grads replicated (post-psum)
+    )
+    return jax.jit(mapped)
+
+
+def sharded_scene_loss_grad(mesh: Mesh, cfg: RenderConfig, trainable):
+    """Generalized sharded loss/grad over ANY registered trainable set
+    (optim/params.py): material fields, sphere position/radius, mesh
+    vertices, camera parameters.
+
+    Returns jitted (scene, camera, frame_count, target) -> (loss, grads).
+    Camera matrices are rebuilt differentiably inside the loss
+    (scene/camera.py is pure jnp), so camera parameters join the same
+    psum'd gradient all-reduce as scene parameters — the full BASELINE
+    north-star gradient set ("albedo, roughness, emission, vertex
+    positions" + camera extension).
+    """
+    from wc_path_tracer_tpu.optim import params as reg
+    from wc_path_tracer_tpu.scene.camera import Camera, camera_matrices
+
+    trainable = reg.validate(trainable)
+    n_dev = mesh.devices.size
+    band = _band(cfg, n_dev)
+    npix = cfg.height * cfg.width * 3
+    aspect = cfg.width / cfg.height
+
+    def shard_body(scene, camera, frame_count, target_rows):
+        y0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * np.uint32(band)
+
+        def local_loss(params):
+            s, cam = reg.apply_params(scene, camera, params)
+            # a prebuilt CameraMatrices passes through (fixed camera);
+            # a Camera is re-projected differentiably per step
+            mats = camera_matrices(cam, aspect) if isinstance(cam, Camera) \
+                else cam
+            # normalized by GLOBAL pixel count inside the differentiated
+            # scope so grads are gradients of the mean loss (unlike the
+            # legacy sharded_render_loss_grad, whose grads are sum-scaled)
+            return _loss_rows(s, mats, cfg, frame_count, y0, band,
+                              target_rows) / npix
+
+        params = reg.get_params(scene, camera, trainable)
+        local, grads = jax.value_and_grad(local_loss)(params)
+        # grads psum'd by shard_map's typed transpose (see
+        # sharded_render_loss_grad)
+        loss = jax.lax.psum(local, DP_AXIS)
+        return loss, grads
+
+    from jax.sharding import PartitionSpec as PS
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(PS(), PS(), PS(), PS(DP_AXIS)),
+        out_specs=(PS(), PS()),
     )
     return jax.jit(mapped)
 

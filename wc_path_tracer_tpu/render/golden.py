@@ -207,7 +207,7 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
     g_t = jnp.matmul(oh_t, tri_payload, precision=HI)
     a, b, c = g_t[:, 0:3], g_t[:, 3:6], g_t[:, 6:9]
     tri_material = g_t[:, 9].astype(jnp.int32)
-    t_tri_w, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
+    t_tri_w = ix.ray_triangle_reshade(origin, direction, a, b, c)
 
     t_best = jnp.where(use_tri, t_tri_w, t_s)
     # Sanitize non-hit / padded lanes to finite values: their results are
@@ -309,6 +309,44 @@ def _luminance(rgb):
             + F32(0.0722) * rgb[..., 2])
 
 
+def _light_tables(scene: Scene):
+    """Per-primitive light-sampling tables shared by NEE and the MIS
+    emission weight: (weights (S+T,), s_lum, t_lum, tri, a, b, c).
+
+    weights = area x luminance per live emissive primitive; the pick pdf in
+    *area* measure is lum/total (areas cancel), so the BSDF-side light pdf
+    of hitting any emitter needs only the hit material's luminance and
+    ``total = sum(weights)``.
+    """
+    sph = scene.spheres
+    mesh = scene.mesh
+    mats = scene.materials
+
+    s_live = jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count
+    s_lum = _luminance(mats.emission[sph.material]) * \
+        mats.emission_strength[sph.material]
+    s_area = F32(4.0) * jnp.pi * sph.radius * sph.radius
+    s_w = jnp.where(s_live & (s_lum > F32(0.0)), s_area * s_lum, F32(0.0))
+
+    voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
+    tri = mesh.indices.reshape(-1, 3) + voff[:, None]  # bank-global ids
+    a = mesh.vertices[tri[:, 0]]
+    b = mesh.vertices[tri[:, 1]]
+    c = mesh.vertices[tri[:, 2]]
+    t_lum = _luminance(mats.emission[mesh.tri_material]) * \
+        mats.emission_strength[mesh.tri_material]
+    cr = jnp.cross(b - a, c - a)
+    # safe_sqrt, not linalg.norm: padded slots are degenerate (zero cross),
+    # and norm's gradient at 0 is NaN — which poisons vertex gradients even
+    # though the padded weights are masked out (0 * NaN = NaN in transpose)
+    t_area = F32(0.5) * ix.safe_sqrt(jnp.sum(cr * cr, axis=-1))
+    t_live = _live_triangle_mask(scene)
+    t_w = jnp.where(t_live & (t_lum > F32(0.0)), t_area * t_lum, F32(0.0))
+
+    weights = jnp.concatenate([s_w, t_w])            # (S+T,)
+    return weights, s_lum, t_lum, tri, a, b, c
+
+
 def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
                         intersect_fn, cfg: RenderConfig):
     """Next-event estimation: one area-sampled light connection per lane.
@@ -316,8 +354,9 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     Extension (not in the reference — SURVEY §2.4(8): no NEE); required by
     BASELINE config (b).  Light set = every live emissive sphere + triangle,
     importance-sampled by (area x luminance).  Returns
-    (direct_radiance_without_brdf_or_throughput (R,3), cos_surf (R,), seed):
-    the caller multiplies by BRDF * throughput.
+    (direct_radiance_without_brdf_or_throughput (R,3), wi (R,3),
+    pdf_sa (R,), seed): the caller multiplies by BRDF * throughput; wi and
+    the solid-angle pdf feed the MIS balance weight against BSDF sampling.
 
     Draw order per lane (when ``mask``): 1 light pick + 2 point draws — all
     masked so disabled/absent lanes leave their PCG stream untouched.
@@ -325,26 +364,8 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     sph = scene.spheres
     mesh = scene.mesh
     mats = scene.materials
-    R = rec.p.shape[0]
 
-    # --- per-primitive light weights: area * luminance(emission) ---
-    s_live = jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count
-    s_lum = _luminance(mats.emission[sph.material]) * mats.emission_strength[sph.material]
-    s_area = F32(4.0) * jnp.pi * sph.radius * sph.radius
-    s_w = jnp.where(s_live & (s_lum > F32(0.0)), s_area * s_lum, F32(0.0))
-
-    voff = mesh.draw_vertex_offset[jnp.maximum(mesh.tri_draw, 0)]
-    tri = mesh.indices.reshape(-1, 3) + voff[:, None]  # bank-global vertex ids
-    a = mesh.vertices[tri[:, 0]]
-    b = mesh.vertices[tri[:, 1]]
-    c = mesh.vertices[tri[:, 2]]
-    t_lum = _luminance(mats.emission[mesh.tri_material]) * \
-        mats.emission_strength[mesh.tri_material]
-    t_area = F32(0.5) * jnp.linalg.norm(jnp.cross(b - a, c - a), axis=-1)
-    t_live = _live_triangle_mask(scene)
-    t_w = jnp.where(t_live & (t_lum > F32(0.0)), t_area * t_lum, F32(0.0))
-
-    weights = jnp.concatenate([s_w, t_w])            # (S+T,)
+    weights, s_lum, t_lum, tri, a, b, c = _light_tables(scene)
     cum = jnp.cumsum(weights)
     total_w = cum[-1]
     has_lights = total_w > F32(0.0)
@@ -385,7 +406,9 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
 
     # --- geometric term + shadow ray ---
     to_light = p_light - rec.p
-    dist = jnp.linalg.norm(to_light, axis=-1)
+    # safe_sqrt: coincident points (masked lanes, degenerate picks) must not
+    # inject NaN gradients (norm's grad at 0)
+    dist = ix.safe_sqrt(jnp.sum(to_light * to_light, axis=-1))
     safe_dist = jnp.maximum(dist, F32(1e-6))
     wi = to_light / safe_dist[:, None]
     cos_surf = jnp.sum(rec.normal * wi, axis=-1)
@@ -415,7 +438,12 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     contrib = L_e * (G / pdf_a)[:, None]
     ok = mask & has_lights & visible & (cos_surf > F32(0.0)) \
         & (cos_light > F32(0.0)) & (lum_pick > F32(0.0))
-    return jnp.where(ok[:, None], contrib, F32(0.0)), seed
+    # solid-angle pdf of this light sample (for the MIS balance weight):
+    # pdf_sa = pdf_area * dist^2 / cos_light
+    pdf_sa = pdf_a * (safe_dist * safe_dist) \
+        / jnp.maximum(jnp.clip(cos_light, 0.0, None), F32(1e-6))
+    return (jnp.where(ok[:, None], contrib, F32(0.0)), wi,
+            jnp.where(ok, pdf_sa, F32(1.0)), seed)
 
 
 def _gather_material(materials, mid):
@@ -465,10 +493,14 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
     (same per-lane math -> bit-identical results either way)."""
     from wc_path_tracer_tpu.ops import bsdf
 
-    o, d, total, trans, seed, alive, prev_nee, bounce_idx = carry
-    rec = intersect_fn(scene, o, d, cfg)
+    from wc_path_tracer_tpu.utils import profiling
 
-    # miss -> sky * transmittance, path ends (pathTracer.comp:248-249)
+    o, d, total, trans, seed, alive, pdf_prev, bounce_idx = carry
+    with profiling.stage("intersect"):
+        rec = intersect_fn(scene, o, d, cfg)
+
+    # miss -> sky * transmittance, path ends (pathTracer.comp:248-249).
+    # The sky is never light-sampled, so it carries no MIS weight.
     miss = alive & ~rec.hit
     total = total + jnp.where(miss[:, None], sky_color(d, cfg) * trans, F32(0.0))
     live = alive & rec.hit
@@ -480,28 +512,74 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
     is_lambert = m["mtype"] == MATERIAL_LAMBERTIAN
     is_ggx = m["mtype"] == MATERIAL_GGX
 
-    # emission (:253). Under NEE, lanes whose previous bounce already
-    # accounted for direct light via a light-sample connection skip the
-    # BSDF-path emission hit (avoids double counting).
-    emit = live & ~prev_nee if cfg.use_nee else live
+    # emission (:253).  Under NEE, emitter hits reached by BSDF sampling
+    # from a light-sampled lobe are MIS-weighted with the balance heuristic
+    # (pdf_prev carries the BSDF pdf of the previous scatter; 0 = previous
+    # lobe was delta / NEE-less, full emission).  cfg.mis=False restores the
+    # round-1 estimator: skip emission entirely after an NEE bounce.
+    if cfg.use_nee:
+        if cfg.mis:
+            # light pdf of having sampled THIS hit point instead:
+            # area-measure pick pdf = lum/total (areas cancel), converted
+            # to solid angle at the previous vertex via t^2 / cos
+            weights = _light_tables(scene)[0]
+            total_w = jnp.maximum(jnp.sum(weights), F32(1e-20))
+            lum_hit = _luminance(m["emission"]) * m["emission_strength"]
+            cos_hit = jnp.maximum(-jnp.sum(rec.normal * d, axis=-1),
+                                  F32(1e-6))
+            pdf_l_sa = (lum_hit / total_w) * rec.t * rec.t / cos_hit
+            w_b = jnp.where(pdf_prev > F32(0.0),
+                            pdf_prev / jnp.maximum(pdf_prev + pdf_l_sa,
+                                                   F32(1e-20)),
+                            F32(1.0))
+        else:
+            w_b = jnp.where(pdf_prev > F32(0.0), F32(0.0), F32(1.0))
+    else:
+        w_b = F32(1.0)
     total = total + jnp.where(
-        emit[:, None],
-        m["emission"] * m["emission_strength"][:, None] * trans,
+        live[:, None],
+        m["emission"] * m["emission_strength"][:, None] * trans
+        * jnp.asarray(w_b)[..., None],
         F32(0.0))
 
-    # --- NEE (extension): direct-light connection for Lambertian lanes;
-    # 3 masked draws ---
+    # --- NEE (extension): direct-light connection for the sampled-lobe
+    # materials (Lambertian; + GGX under MIS); 3 masked draws.  METAL's
+    # fuzzy lobe (pathTracer.comp:256-262) and DIELECTRIC are treated as
+    # delta lobes: they have no closed-form pdf, so light sampling is
+    # skipped and their emitter hits keep full weight (one-strategy MIS —
+    # unbiased, standard practice for specular lobes).
     if cfg.use_nee:
-        nee_mask = live & is_lambert
-        direct, seed = sample_direct_light(scene, rec, seed, nee_mask,
-                                           intersect_fn, cfg)
+        nee_lobes = is_lambert | (is_ggx if cfg.mis else
+                                  jnp.zeros_like(is_ggx))
+        nee_mask = live & nee_lobes
+        with profiling.stage("nee"):
+            direct, wi_l, pdf_l, seed = sample_direct_light(
+                scene, rec, seed, nee_mask, intersect_fn, cfg)
+        f_lam = bsdf.lambert_brdf_over_pi(m["albedo"])
+        if cfg.mis:
+            f_ggx = bsdf.ggx_eval(rec.normal, -d, wi_l, m["albedo"],
+                                  m["roughness"], m["metallic"])
+            f = jnp.where(is_ggx[:, None], f_ggx, f_lam)
+            pdf_b_l = jnp.where(is_ggx,
+                                bsdf.ggx_pdf(rec.normal, -d, wi_l,
+                                             m["roughness"]),
+                                bsdf.lambert_pdf(rec.normal, wi_l))
+            w_l = pdf_l / jnp.maximum(pdf_l + pdf_b_l, F32(1e-20))
+        else:
+            f = f_lam
+            w_l = F32(1.0)
         total = total + jnp.where(
             nee_mask[:, None],
-            direct * bsdf.lambert_brdf_over_pi(m["albedo"]) * trans,
+            direct * f * trans * jnp.asarray(w_l)[..., None],
             F32(0.0))
     else:
         nee_mask = None
 
+    # --- scatter stage: named scope for traces/HLO metadata.  Entered and
+    # exited manually to avoid re-indenting the section; if tracing aborts
+    # mid-scope the abandoned trace's scope stack is discarded with it.
+    scatter_scope = profiling.stage("scatter")
+    scatter_scope.__enter__()
     # --- dielectric pre-draw (:268-273). The short-circuit `||` skips the
     # rand draw under TIR; mask accordingly so streams stay bit-exact.
     eta_i = jnp.where(rec.front, F32(1.0), m["ior"])
@@ -567,6 +645,8 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
     # GGX samples that dipped under the surface carry zero weight; kill
     live = live & jnp.where(is_ggx, ggx_valid, True)
 
+    scatter_scope.__exit__(None, None, None)
+
     # --- Russian roulette (extension): 1 masked draw per eligible lane ---
     if cfg.use_rr:
         rr_mask = live & (bounce_idx >= cfg.rr_start_bounce)
@@ -577,11 +657,23 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
         keep = rr_mask & ~killed
         trans = jnp.where(keep[:, None], trans / p_survive[:, None], trans)
 
-    prev_nee = (nee_mask & live) if cfg.use_nee else prev_nee
+    # pdf of the scatter we just performed, for the next hit's MIS emission
+    # weight (only lanes whose direct light was handled by NEE this bounce;
+    # 0 marks "full emission next hit")
+    if cfg.use_nee:
+        if cfg.mis:
+            pdf_scatter = jnp.where(
+                is_ggx, bsdf.ggx_pdf(rec.normal, -d, new_d, m["roughness"]),
+                bsdf.lambert_pdf(rec.normal, new_d))
+            pdf_prev = jnp.where(nee_mask & live,
+                                 jnp.maximum(pdf_scatter, F32(1e-12)),
+                                 F32(0.0))
+        else:
+            pdf_prev = jnp.where(nee_mask & live, F32(1.0), F32(0.0))
 
     o = jnp.where(live[:, None], new_o, o)
     d = jnp.where(live[:, None], new_d, d)
-    return (o, d, total, trans, seed, live, prev_nee,
+    return (o, d, total, trans, seed, live, pdf_prev,
             bounce_idx + np.int32(1))
 
 
@@ -598,8 +690,8 @@ def _initial_carry(origin, direction, seed):
     total = zeros
     trans = zeros + F32(1.0)
     alive = zeros[:, 0] == F32(0.0)  # all True, varying like origin
-    prev_nee = zeros[:, 0] != F32(0.0)  # all False
-    return (origin, direction, total, trans, seed, alive, prev_nee,
+    pdf_prev = zeros[:, 0]           # 0 = no NEE at the previous bounce
+    return (origin, direction, total, trans, seed, alive, pdf_prev,
             np.int32(0))
 
 
@@ -634,7 +726,7 @@ def trace_rays(scene: Scene, origin, direction, seed, cfg: RenderConfig,
     # per-iteration stacked buffers; full unroll lets XLA fuse across bounce
     # boundaries — 115 ms -> 48 ms fwd+bwd at 1024^2 Cornell
     # (tools/exp_bwd.py; beats jax.checkpoint remat of the rolled loop too).
-    (o, d, total, trans, seed, alive, prev_nee, _), _ = jax.lax.scan(
+    (o, d, total, trans, seed, alive, pdf_prev, _), _ = jax.lax.scan(
         bounce, _initial_carry(origin, direction, seed),
         None, length=cfg.max_bounces + 1, unroll=True)
     return total, seed
@@ -675,10 +767,10 @@ def trace_rays_compact(scene: Scene, origin, direction, seed,
     while R % nblk:
         nblk -= 1  # block count must divide the (static) lane count
     B = R // nblk
-    compact_from = min(max(cfg.compact_from, 0), cfg.max_bounces + 1)
+    compact_from = min(max(cfg.compact_from_resolved, 0), cfg.max_bounces + 1)
 
     iota = jnp.arange(R, dtype=jnp.int32)
-    (o, d, total, trans, seed, alive, prev_nee, _) = \
+    (o, d, total, trans, seed, alive, pdf_prev, _) = \
         _initial_carry(origin, direction, seed)
     orig = iota  # lane -> original ray index, set by the one-time partition
 
@@ -688,8 +780,8 @@ def trace_rays_compact(scene: Scene, origin, direction, seed,
 
     # --- dense phase: plain scan, full batch, no overhead ---
     if compact_from > 0:
-        (o, d, total, trans, seed, alive, prev_nee), _ = jax.lax.scan(
-            dense_bounce, (o, d, total, trans, seed, alive, prev_nee),
+        (o, d, total, trans, seed, alive, pdf_prev), _ = jax.lax.scan(
+            dense_bounce, (o, d, total, trans, seed, alive, pdf_prev),
             jnp.arange(compact_from, dtype=jnp.int32))
 
     if compact_from < cfg.max_bounces + 1:
@@ -703,11 +795,11 @@ def trace_rays_compact(scene: Scene, origin, direction, seed,
         def take(x):
             return x[order]
         o, d, total, trans = take(o), take(d), take(total), take(trans)
-        seed, alive, prev_nee, orig = (take(seed), take(alive),
-                                       take(prev_nee), take(orig))
+        seed, alive, pdf_prev, orig = (take(seed), take(alive),
+                                       take(pdf_prev), take(orig))
 
         def sparse_bounce(state, bounce_idx):
-            o, d, total, trans, seed, alive, prev_nee = state
+            o, d, total, trans, seed, alive, pdf_prev = state
 
             def one_block(_, b):
                 start = b * B
@@ -715,7 +807,7 @@ def trace_rays_compact(scene: Scene, origin, direction, seed,
                 def slc(x):
                     return jax.lax.dynamic_slice_in_dim(x, start, B, axis=0)
                 block = (slc(o), slc(d), slc(total), slc(trans), slc(seed),
-                         slc(alive), slc(prev_nee), bounce_idx)
+                         slc(alive), slc(pdf_prev), bounce_idx)
 
                 # remat: recompute the block in the backward pass instead of
                 # saving its intersect/shade residuals — the per-(block,
@@ -735,8 +827,8 @@ def trace_rays_compact(scene: Scene, origin, direction, seed,
             flat = tuple(x.reshape((R,) + x.shape[2:]) for x in outs)
             return flat, jnp.sum(state[5].astype(jnp.int32))
 
-        (o, d, total, trans, seed, alive, prev_nee), _ = jax.lax.scan(
-            sparse_bounce, (o, d, total, trans, seed, alive, prev_nee),
+        (o, d, total, trans, seed, alive, pdf_prev), _ = jax.lax.scan(
+            sparse_bounce, (o, d, total, trans, seed, alive, pdf_prev),
             jnp.arange(compact_from, cfg.max_bounces + 1, dtype=jnp.int32))
 
     # un-permute back to ray order (unique-index scatters)
@@ -816,6 +908,35 @@ def render_frame(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
     """
     return render_rows(scene, mats, cfg, frame_count, 0, cfg.height,
                        intersect_fn)
+
+
+def count_alive_segments(scene: Scene, mats: CameraMatrices,
+                         cfg: RenderConfig, frame_count, intersect_fn=None):
+    """Total ALIVE lane-segments in one frame (first sample), as a scalar.
+
+    Diagnostic for honest throughput accounting: the dispatch-segment count
+    W*H*samples*(max_bounces+1) marches every lane through every bounce
+    (exactly like the reference megakernel), but with RR/miss termination
+    most lanes are dead in late segments.  bench.py reports Mrays/s against
+    both denominators so config-(d) numbers are not fiction-by-denominator
+    (VERDICT round-2 weak #5).
+    """
+    if intersect_fn is None:
+        intersect_fn = intersect_scene_brute
+    H, W = cfg.height, cfg.width
+    frame_count = jnp.asarray(frame_count, jnp.uint32)
+    pixel_index = jnp.arange(H * W, dtype=jnp.uint32)
+    seed = rng.pixel_seed(pixel_index, frame_count)
+    origin = jnp.broadcast_to(mats.position, (H * W, 3))
+    dirs = primary_ray_directions(mats, W, H).reshape(-1, 3)
+
+    def bounce(carry, _):
+        entering = jnp.sum(carry[5].astype(jnp.uint32))
+        return _bounce_segment(scene, cfg, intersect_fn, carry), entering
+
+    _, counts = jax.lax.scan(bounce, _initial_carry(origin, dirs, seed),
+                             None, length=cfg.max_bounces + 1)
+    return jnp.sum(counts) * np.uint32(cfg.samples)
 
 
 def accumulate(old_image, new_frame, frame_count):

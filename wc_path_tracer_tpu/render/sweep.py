@@ -142,7 +142,7 @@ def intersect_scene_sweep(scene: Scene, origin, direction, cfg: RenderConfig,
     a = jnp.where(safe, pay[:, 1:4], unit[0])
     b = jnp.where(safe, pay[:, 4:7], unit[1])
     c = jnp.where(safe, pay[:, 7:10], unit[2])
-    t_tri_w, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
+    t_tri_w = ix.ray_triangle_reshade(origin, direction, a, b, c)
 
     near_w, far_w = ix.ray_sphere(origin, direction, sph_center, sph_radius)
     if cfg.sphere_near_root_only:

@@ -325,7 +325,7 @@ def _reshade(scene, origin, direction, cfg, t_s, sph_idx, best_off):
     a = mesh.vertices[vert_off + ia]
     b = mesh.vertices[vert_off + ib]
     c = mesh.vertices[vert_off + ic]
-    t_tri, _, _, _ = ix.ray_triangle(origin, direction, a, b, c)
+    t_tri = ix.ray_triangle_reshade(origin, direction, a, b, c)
     t_tr = jnp.where(tri_hit, t_tri, KINF)
 
     use_tri = t_tr < t_s

@@ -37,6 +37,11 @@ class RenderConfig:
     #                              pathTracer.comp:309-310): AA only emerges across
     #                              accumulated frames. True = stratified subpixel jitter.
     use_nee: bool = False        # next-event estimation (not in ref; BASELINE north star)
+    mis: bool = True             # balance-heuristic MIS between light and BSDF
+    #                              sampling (lambert + GGX lobes; metal/dielectric
+    #                              are delta lobes -> BSDF-only). False restores
+    #                              the round-1 estimator (lambert-only NEE with
+    #                              emission skipped after an NEE bounce).
     use_rr: bool = False         # Russian roulette termination (not in ref)
     rr_start_bounce: int = 3     # first bounce index eligible for RR termination
     sky: str = "gradient"        # "gradient" = ref's vertical mix (pathTracer.comp:236-239),
@@ -59,10 +64,19 @@ class RenderConfig:
     #                              bounce counts where most lanes die early.
     compact_blocks: int = 16     # block grid for compaction: work is skipped
     #                              in units of num_rays/compact_blocks lanes.
-    compact_from: int = 4        # bounce index of the one-time partition;
+    compact_from: int | None = None  # bounce index of the one-time partition;
     #                              earlier bounces run dense (zero overhead).
-    #                              Pick ~where the alive fraction collapses
-    #                              (with RR: rr_start_bounce + 1).
+    #                              None (default) tracks the kill sources:
+    #                              rr_start_bounce + 1 with RR, else 1 (the
+    #                              round-2 fixed default of 4 exceeded the
+    #                              default bounce count, silently disabling
+    #                              compaction).
+
+    @property
+    def compact_from_resolved(self) -> int:
+        if self.compact_from is not None:
+            return self.compact_from
+        return self.rr_start_bounce + 1 if self.use_rr else 1
 
     traversal: str = "stackless"  # BVH walk flavor: "stackless" = escape-link
     #                               DFS (one i32 cursor per lane, cheapest
