@@ -250,12 +250,18 @@ def sweep_reference(origin, direction, t_init, tris, cmin, cmax):
     iota = jnp.arange(T, dtype=jnp.int32)
     idx = jnp.min(jnp.where(tm == t_min[:, None], iota[None, :],
                             np.int32(T)), axis=-1)
-    oh = (iota[None, :] == idx[:, None]).astype(jnp.float32)
+    found = t_min < t_init
+    # miss lanes: all-KINF rows satisfy ``tm == t_min`` at every column, so
+    # the raw one-hot would select triangle 0's payload — but the kernel
+    # never writes those lanes and leaves zeros.  Mask the one-hot by
+    # ``found`` so the payload contract holds bit-for-bit on miss lanes too
+    # (round-3 test_sweep_reference_matches_kernel failure).
+    oh = ((iota[None, :] == idx[:, None]) & found[:, None]) \
+        .astype(jnp.float32)
     payload_tbl = jnp.concatenate(
         [a, b, c, mat[:, None],
          jnp.arange(T, dtype=jnp.float32)[:, None]], axis=1)  # (T, 11)
     g = jnp.matmul(oh, payload_tbl, precision=jax.lax.Precision.HIGHEST)
-    found = t_min < t_init
     out = jnp.concatenate([
         jnp.where(found, t_min, t_init)[:, None],
         g[:, 0:10],

@@ -21,10 +21,12 @@ single scalar stack in SMEM.  The packet walks the tree once:
 
 Coherent packets (primary rays from a pixel tile, NEE shadow rays toward a
 small light) visit near-minimal node sets; incoherent bounce packets visit
-the union.  **Measured on TPU v5e (BASELINE.md round-2 rows): the XLA
-per-lane walk in render/wavefront.py beats this kernel 1.7x on coherent
-primaries and ~2,000x on large incoherent wavefronts**, so dispatch "auto"
-uses the XLA walk; this kernel is the opt-in `--renderer pallas` backend.
+the union.  **Measured on TPU v5e (BASELINE.md round-3 table): 2.3x slower
+than the cluster sweep (kernels/cluster.py) on the bunny scene** — the
+shared SMEM stack makes incoherent packets visit the union of their node
+sets, so dispatch "auto" never selects it; this kernel is the opt-in
+`--renderer pallas` design point, kept in case Mosaic grows cross-register
+gathers.
 A per-lane walk inside Pallas would need per-lane gathers from node tables,
 which this Mosaic version cannot express (tpu.dynamic_gather is
 single-register: 128-lane tables only).

@@ -528,10 +528,16 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
             cos_hit = jnp.maximum(-jnp.sum(rec.normal * d, axis=-1),
                                   F32(1e-6))
             pdf_l_sa = (lum_hit / total_w) * rec.t * rec.t / cos_hit
-            w_b = jnp.where(pdf_prev > F32(0.0),
-                            pdf_prev / jnp.maximum(pdf_prev + pdf_l_sa,
-                                                   F32(1e-20)),
-                            F32(1.0))
+            # MIS weights stay ATTACHED (FD-exact: the balance weight is a
+            # smooth function of the scene, and central differences of the
+            # renderer see its derivative).  The ratio needs the double-where
+            # guard (see ix.safe_sqrt): on lanes where pdf_prev == 0 the
+            # clamped denominator 1e-20 SQUARES TO ZERO in f32 inside the
+            # division's VJP, which emits 0/0 = NaN even though the lane's
+            # cotangent is zero — that was round 3's all-NaN gradient bug.
+            use_ratio = pdf_prev > F32(0.0)
+            den_b = jnp.where(use_ratio, pdf_prev + pdf_l_sa, F32(1.0))
+            w_b = jnp.where(use_ratio, pdf_prev / den_b, F32(1.0))
         else:
             w_b = jnp.where(pdf_prev > F32(0.0), F32(0.0), F32(1.0))
     else:
@@ -564,7 +570,12 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
                                 bsdf.ggx_pdf(rec.normal, -d, wi_l,
                                              m["roughness"]),
                                 bsdf.lambert_pdf(rec.normal, wi_l))
-            w_l = pdf_l / jnp.maximum(pdf_l + pdf_b_l, F32(1e-20))
+            # same double-where guard as w_b (pdf_l == 1 on unused lanes, so
+            # the denominator is never degenerate there, but pdf_b_l from a
+            # masked GGX lane can be garbage — keep its backward off them)
+            ok_l = pdf_l > F32(1e-12)
+            den_l = jnp.where(ok_l, pdf_l + pdf_b_l, F32(1.0))
+            w_l = jnp.where(ok_l, pdf_l / den_l, F32(0.0))
         else:
             f = f_lam
             w_l = F32(1.0)
@@ -738,9 +749,9 @@ def trace_rays_compact(scene: Scene, origin, direction, seed,
 
     The reference megakernel marches EVERY thread through every bounce
     segment (pathTracer.comp:241-284); with Russian roulette most lanes die
-    early yet still pay full intersect+BSDF cost.  Measured design point
-    (TPU v5e, BASELINE.md): the renderer runs tens of Grays/s, so per-bounce
-    re-sorting costs more state traffic than it saves — instead:
+    early yet still pay full intersect+BSDF cost.  Design point: per-bounce
+    re-sorting costs more state traffic than it saves on a throughput
+    machine (and dead lanes cost nothing inside a masked sweep) — instead:
 
     - bounces before ``cfg.compact_from`` run the plain full-batch segment
       (zero overhead while the wavefront is dense);
