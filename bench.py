@@ -70,13 +70,18 @@ def main():
         scene, cam = builtin.cornell_box_scene()
         sky = "black"
     elif args.scene == "bunny":
-        from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+        from wc_path_tracer_tpu.models.procedural import (bunny_gltf_scene,
+                                                          bunny_like_scene)
         # the pallas packet kernel needs sub-BLAS draws within its SMEM budget
         blas = None
         if args.renderer == "pallas":
             from wc_path_tracer_tpu.render.dispatch import PALLAS_MAX_TRIS
             blas = PALLAS_MAX_TRIS
-        scene, cam = bunny_like_scene(args.subdiv, max_blas_tris=blas)
+        if args.subdiv == 5:
+            # config (c) proper: the committed glTF asset via models/gltf.py
+            scene, cam = bunny_gltf_scene(max_blas_tris=blas)
+        else:
+            scene, cam = bunny_like_scene(args.subdiv, max_blas_tris=blas)
         sky = "gradient"
     elif args.scene == "triangle":
         scene, cam = builtin.single_triangle_scene()
@@ -198,12 +203,12 @@ def _bvh_row(args):
     import jax.numpy as jnp
     import dataclasses
 
-    from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+    from wc_path_tracer_tpu.models.procedural import bunny_gltf_scene
     from wc_path_tracer_tpu.render import dispatch
     from wc_path_tracer_tpu.scene.camera import camera_matrices
     from wc_path_tracer_tpu.utils.config import RenderConfig
 
-    scene, cam = bunny_like_scene(5)
+    scene, cam = bunny_gltf_scene()   # config (c): committed glTF asset
     cfg = RenderConfig(width=512, height=512, samples=1, max_bounces=4,
                        sky="gradient")
     mats = camera_matrices(cam, 1.0)

@@ -28,12 +28,24 @@ def _add_render_args(p):
     p.add_argument("--samples", type=int, default=1)
     p.add_argument("--bounces", type=int, default=4)
     p.add_argument("--nee", action="store_true", help="next-event estimation")
+    p.add_argument("--mis", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="balance-heuristic MIS under NEE (--no-mis restores "
+                        "the skip-emission-after-NEE estimator)")
     p.add_argument("--rr", action="store_true", help="Russian roulette")
     p.add_argument("--jitter", action="store_true", help="subpixel AA jitter")
+    p.add_argument("--edge-grads", action="store_true",
+                   help="silhouette (visibility) gradients via the coverage "
+                        "estimator; also antialiases sphere edges (~2x cost)")
+    p.add_argument("--compact", action="store_true",
+                   help="alive-ray stream compaction between bounces")
     p.add_argument("--true-dielectric", action="store_true",
                    help="fix reference quirk 3: glass renders as dielectric")
     p.add_argument("--renderer", default="auto",
-                   choices=["auto", "golden", "wavefront", "pallas"])
+                   choices=["auto", "golden", "sweep", "wavefront", "pallas"],
+                   help="closest-hit backend: auto picks brute below 256 "
+                        "tris, the cluster sweep above (the production "
+                        "meshed path)")
     p.add_argument("--bloom", action="store_true",
                    help="bloom post pass (ref ships bloom.comp but never "
                         "dispatches it)")
@@ -64,8 +76,10 @@ def _make_cfg(args, sky):
     from wc_path_tracer_tpu.utils.config import RenderConfig
     return RenderConfig(width=args.width, height=args.height,
                         samples=args.samples, max_bounces=args.bounces,
-                        sky=sky, use_nee=args.nee, use_rr=args.rr,
-                        pixel_jitter=args.jitter, bloom=args.bloom,
+                        sky=sky, use_nee=args.nee, mis=args.mis,
+                        use_rr=args.rr, pixel_jitter=args.jitter,
+                        edge_grads=args.edge_grads, compact=args.compact,
+                        bloom=args.bloom,
                         bloom_threshold=args.bloom_threshold,
                         bloom_knee=args.bloom_knee,
                         bloom_strength=args.bloom_strength)
@@ -99,15 +113,34 @@ def cmd_render(args):
         print(f"resumed at frame {r.frame_count}", file=sys.stderr)
 
     log = MetricsLogger(args.metrics)
+
+    # honest-denominator companion (bench.py's lesson, VERDICT r3 weak #7):
+    # fraction of dispatched lane-segments actually alive (post-miss/RR)
+    try:
+        from wc_path_tracer_tpu.scene.camera import camera_matrices
+        segments = cfg.width * cfg.height * cfg.samples * (cfg.max_bounces + 1)
+        alive_frac = float(jax.jit(
+            golden.count_alive_segments, static_argnames="cfg")(
+                scene, camera_matrices(cam, cfg.width / cfg.height), cfg,
+                jnp.uint32(1))) / segments
+    except Exception as e:
+        print(f"alive-segment count unavailable: {e}", file=sys.stderr)
+        alive_frac = None
+
     t0 = time.perf_counter()
     for i in range(args.frames):
         ft = time.perf_counter()
         r.step(1)
         r.image.block_until_ready()
         dt = time.perf_counter() - ft
-        log.log("frame", frame=r.frame_count, seconds=round(dt, 4),
-                mrays_per_s=round(mrays(cfg.width, cfg.height, cfg.samples,
-                                        cfg.max_bounces, dt), 2))
+        dispatched = mrays(cfg.width, cfg.height, cfg.samples,
+                           cfg.max_bounces, dt)
+        rec = dict(frame=r.frame_count, seconds=round(dt, 4),
+                   mrays_per_s=round(dispatched, 2))
+        if alive_frac is not None:
+            rec["alive_fraction"] = round(alive_frac, 4)
+            rec["alive_mrays_per_s"] = round(dispatched * alive_frac, 2)
+        log.log("frame", **rec)
     print(f"rendered {args.frames} frames in {time.perf_counter()-t0:.2f}s",
           file=sys.stderr)
 

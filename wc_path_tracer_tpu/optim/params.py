@@ -13,13 +13,13 @@ positions" in the gradient all-reduce set):
   differentiably inside the loss, scene/camera.py is pure jnp)
 
 Gradients for geometry flow through the differentiable re-shade of the
-detached closest-hit search (render/golden.py intersect_scene_brute): exact
-for interior parameters; visibility (silhouette) terms are not estimated —
-hit/miss boundaries carry zero gradient (documented limitation; the
-detached estimator is exact in expectation for interior params only).
-Note the brute/golden path carries vertex gradients; the cluster-sweep path
-(render/sweep.py) detaches winner vertices — use golden for vertex
-optimization.
+detached closest-hit search on BOTH production paths (render/golden.py
+intersect_scene_brute; render/sweep.py's attached cluster-slab re-fetch
+carries vertex gradients too): exact for interior parameters.  Silhouette
+(visibility) terms are estimated when ``cfg.edge_grads`` is on (the
+coverage estimator, golden.intersect_primary_edge — sphere silhouettes on
+primary rays); with it off, hit/miss boundaries carry zero gradient (the
+plain detached estimator, exact in expectation for interior params only).
 """
 
 from __future__ import annotations

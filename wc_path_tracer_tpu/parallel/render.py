@@ -66,8 +66,16 @@ def render_image_sharded(scene, mats, cfg: RenderConfig, frame_count,
     return fn(scene, mats, jnp.asarray(frame_count, jnp.uint32))
 
 
-def _loss_rows(scene, mats, cfg, frame_count, y0, band, target_rows):
-    img = golden.render_rows(scene, mats, cfg, frame_count, y0, band)
+def _rows_fn(renderer: str):
+    if renderer == "sweep":
+        from wc_path_tracer_tpu.render import sweep as _sweep
+        return _sweep.render_rows
+    return golden.render_rows
+
+
+def _loss_rows(scene, mats, cfg, frame_count, y0, band, target_rows,
+               renderer="golden"):
+    img = _rows_fn(renderer)(scene, mats, cfg, frame_count, y0, band)
     # mean over *global* pixels: sum locally, divide by global count after psum
     return jnp.sum((img - target_rows) ** 2)
 
@@ -114,7 +122,8 @@ def sharded_render_loss_grad(mesh: Mesh, cfg: RenderConfig,
     return jax.jit(mapped)
 
 
-def sharded_scene_loss_grad(mesh: Mesh, cfg: RenderConfig, trainable):
+def sharded_scene_loss_grad(mesh: Mesh, cfg: RenderConfig, trainable,
+                            renderer: str = "golden"):
     """Generalized sharded loss/grad over ANY registered trainable set
     (optim/params.py): material fields, sphere position/radius, mesh
     vertices, camera parameters.
@@ -124,7 +133,8 @@ def sharded_scene_loss_grad(mesh: Mesh, cfg: RenderConfig, trainable):
     (scene/camera.py is pure jnp), so camera parameters join the same
     psum'd gradient all-reduce as scene parameters — the full BASELINE
     north-star gradient set ("albedo, roughness, emission, vertex
-    positions" + camera extension).
+    positions" + camera extension).  ``renderer``: "golden" or "sweep"
+    (the production meshed path; vertex gradients flow on both).
     """
     from wc_path_tracer_tpu.optim import params as reg
     from wc_path_tracer_tpu.scene.camera import Camera, camera_matrices
@@ -148,7 +158,7 @@ def sharded_scene_loss_grad(mesh: Mesh, cfg: RenderConfig, trainable):
             # scope so grads are gradients of the mean loss (unlike the
             # legacy sharded_render_loss_grad, whose grads are sum-scaled)
             return _loss_rows(s, mats, cfg, frame_count, y0, band,
-                              target_rows) / npix
+                              target_rows, renderer) / npix
 
         params = reg.get_params(scene, camera, trainable)
         local, grads = jax.value_and_grad(local_loss)(params)

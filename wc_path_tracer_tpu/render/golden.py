@@ -233,6 +233,144 @@ def intersect_scene_brute(scene: Scene, origin, direction, cfg: RenderConfig) ->
                      material=material.astype(jnp.int32))
 
 
+def intersect_primary_edge(scene: Scene, origin, direction, cfg: RenderConfig,
+                           pix_ang):
+    """Edge-aware primary closest-hit for silhouette gradients
+    (cfg.edge_grads; SURVEY §7.2 "reparameterized/edge-aware visibility").
+
+    The hit/miss indicator is a step function of sphere position/radius and
+    camera, so plain autodiff carries zero silhouette gradient.  This query
+    makes the *primal* continuous instead (smoothed-primal / coverage
+    estimator, the differentiable-rasterization approach):
+
+    - sphere acceptance is widened by half a pixel footprint
+      ``w = t * pix_ang`` (pix_ang = angular pixel height): rays grazing a
+      silhouette within +-w/2 still produce a sphere path, parked at the
+      closest-approach point;
+    - the returned ``alpha`` is the analytic sub-pixel coverage of the
+      winning sphere, ``clip(0.5 + (r - b)/w, 0, 1)`` with b the attached
+      ray-center miss distance — a linear-ramp antialias of the silhouette.
+
+    The caller blends ``alpha * L_sphere_path + (1-alpha) * L_background``;
+    the blended image is continuous in every geometry/camera parameter, so
+    reverse-mode == central differences *including the boundary term*.
+    Bias: one-pixel-wide silhouette smoothing (standard for coverage
+    estimators), and the discriminant is clamped a quarter-pixel from
+    tangency so dt/dtheta stays bounded at the limb.  v1 scope: sphere
+    silhouettes on primary rays (the dominant term for geometry inversion);
+    mesh silhouettes and secondary-bounce (shadow/reflection) boundaries
+    remain interior-only.  Spheres-vs-sphere overlap uses the all-spheres-
+    removed background, exact for disjoint silhouettes.
+    """
+    sph = scene.spheres
+    sg = jax.lax.stop_gradient
+    pix_ang = sg(pix_ang)
+
+    # triangles + miss: ordinary brute query with spheres disabled
+    scene_ns = dataclasses.replace(
+        scene, spheres=dataclasses.replace(
+            sph, count=jnp.asarray(0, jnp.int32)))
+    rec_t = intersect_scene_brute(scene_ns, origin, direction, cfg)
+    t_tri = jnp.where(rec_t.hit, rec_t.t, KINF)
+
+    # --- sphere edge sweep (search detached) ---
+    o_ng, d_ng = sg(origin), sg(direction)
+    q = sg(sph.position)[None, :, :] - o_ng[:, None, :]       # (R, S, 3)
+    t_ca = jnp.sum(q * d_ng[:, None, :], axis=-1)             # (R, S)
+    b2 = jnp.sum(q * q, axis=-1) - t_ca * t_ca
+    r = sg(sph.radius)[None, :]
+    w = jnp.maximum(t_ca, F32(1e-3)) * pix_ang                # (R, S)
+    r_eff = r + F32(0.5) * w
+    disc = r * r - b2
+    inside = disc > F32(0.0)
+    t_near = t_ca - jnp.sqrt(jnp.maximum(disc, F32(0.0)))
+    # near-root-only semantics preserved (quirk 1); grazing rays park at
+    # the closest-approach distance t_ca
+    t_cand = jnp.where(inside, t_near, t_ca)
+    s_live = (jnp.arange(sph.capacity, dtype=jnp.int32) < sph.count)[None, :]
+    valid = s_live & (b2 < r_eff * r_eff) & (t_cand > F32(0.0))
+    t_sph = jnp.where(valid, t_cand, KINF)
+    t_s_ng, oh_s = _min_select(t_sph)
+
+    # --- differentiable re-shade of the winning sphere ---
+    HI = jax.lax.Precision.HIGHEST
+    payload = jnp.concatenate([
+        sph.position, sph.radius[:, None],
+        sph.material.astype(F32)[:, None]], axis=1)
+    g = jnp.matmul(oh_s, payload, precision=HI)
+    cen, rad, s_mat = g[:, 0:3], g[:, 3], g[:, 4].astype(jnp.int32)
+    qw = cen - origin
+    t_ca_w = jnp.sum(qw * direction, axis=-1)
+    b2_w = jnp.sum(qw * qw, axis=-1) - t_ca_w * t_ca_w
+    b_w = ix.safe_sqrt(b2_w)
+    w_w = sg(jnp.maximum(t_ca_w, F32(1e-3))) * pix_ang        # (R,)
+    disc_w = rad * rad - b2_w
+    quarter = (F32(0.25) * w_w) ** 2
+    disc_c = jnp.maximum(disc_w, quarter)   # bounded slope at the limb
+    inside_sel = sg(disc_w) > F32(0.0)
+    t_w = jnp.where(inside_sel, t_ca_w - jnp.sqrt(disc_c), t_ca_w)
+
+    # --- merge (sphere wins ties, as in intersect_scene_brute) ---
+    sphere_found = t_s_ng < KINF
+    use_s = sphere_found & (t_s_ng <= t_tri)
+    hit = use_s | rec_t.hit
+    t_best = jnp.where(use_s, t_w,
+                       jnp.where(rec_t.hit, rec_t.t, F32(1.0)))
+    t_safe = jnp.where(hit, t_best, F32(1.0))
+    p = origin + t_safe[:, None] * direction
+
+    rad_safe = jnp.where(sg(rad) > F32(0.0), rad, F32(1.0))
+    n_s = (p - cen) / rad_safe[:, None]
+    normal = jnp.where(use_s[:, None], n_s, rec_t.normal)
+    material = jnp.where(use_s, s_mat, rec_t.material)
+    front = jnp.sum(d_ng * sg(normal), axis=-1) < F32(0.0)
+    normal = jnp.where(front[:, None], normal, -normal)
+    normal = jnp.where(hit[:, None], normal,
+                       jnp.array([0.0, 0.0, 1.0], F32))
+
+    alpha = jnp.where(
+        use_s,
+        jnp.clip(F32(0.5) + (rad - b_w) / w_w, F32(0.0), F32(1.0)),
+        F32(1.0))
+    rec = HitRecord(t=t_safe, p=p, normal=normal, hit=hit, front=front,
+                    material=material.astype(jnp.int32))
+    return rec, alpha, rec_t
+
+
+def trace_rays_edge(scene: Scene, origin, direction, seed, seed_bg,
+                    cfg: RenderConfig, pix_ang, intersect_fn=None):
+    """trace_rays with the edge-aware primary bounce (cfg.edge_grads).
+
+    Returns (blended_radiance, seed, seed_bg).  Two paths are traced per
+    ray: the edge-aware hit path (widened sphere acceptance at the primary
+    bounce) and the background path (primary bounce sees no spheres; later
+    bounces see the FULL scene — only *primary* visibility is smoothed, so
+    the blend stays continuous at the acceptance-band boundary even when
+    secondary rays strike spheres).  They are composited by the analytic
+    coverage: ``alpha * L_hit + (1 - alpha) * L_bg``.
+    """
+    if intersect_fn is None:
+        intersect_fn = intersect_scene_brute
+    rec0, alpha, rec_bg = intersect_primary_edge(scene, origin, direction,
+                                                 cfg, pix_ang)
+
+    def run(rec_primary, s):
+        carry = _initial_carry(origin, direction, s)
+        # Python loop (not lax.scan) so bounce 0 can swap in the
+        # precomputed record; bounce counts are <= 9, matching the plain
+        # path's unrolled scan.
+        for i in range(cfg.max_bounces + 1):
+            fn = (lambda sc, o, d, c: rec_primary) if i == 0 else intersect_fn
+            carry = _bounce_segment(scene, cfg, fn, carry)
+        return carry[2], carry[4]
+
+    light, seed = run(rec0, seed)
+    light_bg, seed_bg = run(rec_bg, seed_bg)
+    blended = alpha[:, None] * light \
+        + (F32(1.0) - alpha[:, None]) * light_bg
+    return blended, seed, seed_bg
+
+
 def occluded_brute(scene: Scene, origin, direction, max_dist, cfg: RenderConfig):
     """Boolean any-hit shadow query: does any primitive block ``origin +
     t*direction`` for t in (0, max_dist)?
@@ -880,6 +1018,29 @@ def render_rows(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
         dirs = primary_ray_directions(mats, W, H, jitter=jitter)
         return jax.lax.dynamic_slice_in_dim(
             dirs, y0.astype(jnp.int32), num_rows, axis=0).reshape(-1, 3)
+
+    if cfg.edge_grads:
+        # silhouette-gradient estimator: edge-aware hit trace blended with
+        # an all-spheres-removed background trace by the analytic coverage
+        # (see intersect_primary_edge).  Independent PCG stream for the
+        # background so the two estimators stay uncorrelated.
+        dirs_const = band_directions()
+        # angular pixel height: inv_proj[1,1] == tan(fov/2)
+        pix_ang = F32(2.0) * mats.inverse_projection[1, 1] / F32(H)
+        seed_bg = rng.pixel_seed(pixel_index,
+                                 frame_count + np.uint32(747796405))
+
+        def sample_body(carry, _):
+            seed, seed_bg, acc = carry
+            blended, seed, seed_bg = trace_rays_edge(
+                scene, origin, dirs_const, seed, seed_bg, cfg, pix_ang,
+                intersect_fn)
+            return (seed, seed_bg, acc + blended), None
+
+        (seed, _, acc), _ = jax.lax.scan(
+            sample_body, (seed, seed_bg, origin * F32(0.0)), None,
+            length=cfg.samples)
+        return (acc / F32(cfg.samples)).reshape(num_rows, W, 3)
 
     if cfg.pixel_jitter:
         # extension: uniform subpixel jitter; draws 2 per sample per pixel

@@ -57,6 +57,19 @@ class RenderConfig:
     bloom_strength: float = 1.0   # scale on the added bloom (1.0 = composite.comp's
     #                               direct add; extension knob beyond the ref)
 
+    edge_grads: bool = False     # silhouette/visibility gradients via the
+    #                              coverage (smoothed-primal) estimator:
+    #                              primary rays accept sphere hits within
+    #                              half a pixel of the silhouette and the
+    #                              frame blends hit/background paths by the
+    #                              analytic differentiable coverage — the
+    #                              image becomes continuous in geometry and
+    #                              camera parameters, so autodiff carries
+    #                              the boundary term (golden.
+    #                              intersect_primary_edge). ~2x forward
+    #                              cost; off = reference step-function
+    #                              visibility (zero silhouette gradient).
+
     compact: bool = False        # alive-ray stream compaction between bounces
     #                              (golden.trace_rays_compact): bit-identical
     #                              output, skips intersect+BSDF work for dead
@@ -104,6 +117,10 @@ class RenderConfig:
             raise ValueError(f"unknown traversal: {self.traversal!r}")
         if self.compact_blocks <= 0:
             raise ValueError("compact_blocks must be positive")
+        if self.edge_grads and self.pixel_jitter:
+            raise ValueError(
+                "edge_grads antialiases silhouettes analytically; combine "
+                "with pixel_jitter is unsupported")
 
     @property
     def num_rays(self) -> int:
