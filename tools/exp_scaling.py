@@ -1,0 +1,200 @@
+"""Scaling-efficiency measurement (VERDICT r3 ask #6; BASELINE north star
+>=85% rays/s scaling at 1 chip / 1 host / N>=2 hosts).
+
+Only ONE real TPU chip is reachable in this environment, so scaling
+efficiency is measured by its two real loss sources, separately:
+
+1. **Band-height scaling (on-chip, the real hardware).**  Under DP ray
+   sharding each of N devices renders an (H/N)-row band of the fixed scene
+   with zero forward communication (parallel/render.py: scene replicated,
+   rays sharded).  Wall-clock at N devices is therefore the wall-clock of
+   ONE device rendering one band — measurable on one chip.  Per-device
+   efficiency at N = T(full frame) / (N * T(H/N band)): it captures exactly
+   the loss that multi-chip DP would see — small-shape occupancy as the
+   per-device workload shrinks — because the collective term is zero in
+   forward and one small psum of parameter grads in backward.
+
+2. **Gradient all-reduce overhead (virtual 8-device CPU mesh).**  The only
+   collective in the system is the psum of scene-parameter gradients
+   (parallel/render.py sharded_scene_loss_grad).  On the virtual mesh we
+   verify the sharded step compiles + runs at every N and report the
+   sharded-vs-unsharded wall ratio.  NOTE this host has 2 physical cores:
+   8 virtual devices time-share them, so CPU wall-clock *cannot* show
+   speedup and is reported only as a correctness/overhead signal, not an
+   efficiency number (the per-N CPU rows would measure core contention,
+   not ICI scaling).
+
+Usage:
+  python tools/exp_scaling.py --mode tpu          # band-height curve (real chip)
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/exp_scaling.py --mode cpu      # virtual-mesh psum check
+
+Prints one JSON line per mode; BASELINE.md's round-4 section records both.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def float_timed(fn, *args):
+    t0 = time.perf_counter()
+    v = float(fn(*args))
+    assert v == v, "NaN in timed computation"
+    return time.perf_counter() - t0
+
+
+def band_run(scene, mats, cfg, target, band, K, trainable):
+    """Jitted K-frame scan of fwd+bwd over one band of `band` rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.render import golden
+
+    def loss_fn(params, scene, mats, frame, tgt):
+        m = dataclasses.replace(scene.materials, **params)
+        s = dataclasses.replace(scene, materials=m)
+        img = golden.render_rows(s, mats, cfg, frame, jnp.uint32(0), band)
+        return jnp.mean((img - tgt[:band]) ** 2)
+
+    @jax.jit
+    def run(scene, mats, target):
+        def body(acc, frame):
+            params = {k: getattr(scene.materials, k) for k in trainable}
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scene, mats, frame, target)
+            return acc + loss + sum(jnp.sum(g)
+                                    for g in jax.tree.leaves(grads)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(1, K + 1, dtype=jnp.uint32))
+        return acc
+
+    return run
+
+
+def mode_tpu(args):
+    import jax
+    import jax.numpy as jnp
+
+    from wc_path_tracer_tpu.models import builtin
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    from wc_path_tracer_tpu.utils.config import RenderConfig
+
+    size = args.size
+    scene, cam = builtin.cornell_box_scene()
+    cfg = RenderConfig(width=size, height=size, samples=1,
+                       max_bounces=args.bounces, sky="black")
+    mats = camera_matrices(cam, 1.0)
+    target = jnp.zeros((size, size, 3), jnp.float32)
+    trainable = ("albedo", "emission", "emission_strength", "roughness")
+    K = args.iters
+
+    rows = []
+    t_full = None
+    for n in (1, 2, 4, 8):
+        band = size // n
+        run = band_run(scene, mats, cfg, target, band, K, trainable)
+        float(run(scene, mats, target))  # compile
+        best = min(float_timed(run, scene, mats, target) for _ in range(3))
+        dt = best / K
+        segs = band * size * (cfg.max_bounces + 1)
+        mrays = segs / dt / 1e6
+        if n == 1:
+            t_full = dt
+        eff = t_full / (n * dt)
+        rows.append({"n_devices": n, "band_rows": band,
+                     "band_ms": round(dt * 1e3, 3),
+                     "band_mrays": round(mrays, 2),
+                     "efficiency": round(eff, 4)})
+        print(f"scaling[{n}]: band {band} rows  {dt*1e3:7.2f} ms  "
+              f"{mrays:8.2f} Mrays/s  eff {eff:.3f}", file=sys.stderr)
+
+    print(json.dumps({
+        "mode": "tpu_band_scaling",
+        "metric": "per-device efficiency T(full)/(N*T(H/N band)), fwd+bwd "
+                  f"{size}^2 cornell {args.bounces} bounces",
+        "backend": jax.default_backend(),
+        "rows": rows,
+        "efficiency_at_8": rows[-1]["efficiency"],
+    }))
+
+
+def mode_cpu(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wc_path_tracer_tpu.models import builtin
+    from wc_path_tracer_tpu.parallel.mesh import make_mesh
+    from wc_path_tracer_tpu.parallel.render import sharded_scene_loss_grad
+    from wc_path_tracer_tpu.scene.camera import camera_matrices
+    from wc_path_tracer_tpu.utils.config import RenderConfig
+
+    n_avail = len(jax.devices())
+    size = args.size_cpu
+    scene, cam = builtin.cornell_box_scene()
+    cfg = RenderConfig(width=size, height=size, samples=1, max_bounces=2,
+                       sky="black", use_nee=True)
+    mats = camera_matrices(cam, 1.0)
+    target = jnp.zeros((size, size, 3), jnp.float32)
+    trainable = ("albedo", "sphere_position", "camera_position")
+    K = args.iters
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        if n > n_avail:
+            break
+        mesh = make_mesh(jax.devices()[:n])
+        fn = sharded_scene_loss_grad(mesh, cfg, trainable)
+
+        @jax.jit
+        def run(scene, mats, target):
+            def body(acc, frame):
+                loss, grads = fn(scene, mats, frame, target)
+                return acc + loss + sum(jnp.sum(g)
+                                        for g in jax.tree.leaves(grads)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(1, K + 1, dtype=jnp.uint32))
+            return acc
+
+        v0 = float(run(scene, mats, target))   # compile + correctness
+        assert v0 == v0
+        best = min(float_timed(run, scene, mats, target) for _ in range(3))
+        rows.append({"n_devices": n, "wall_ms": round(best / K * 1e3, 2),
+                     "value": v0})
+        print(f"cpu-mesh[{n}]: {best/K*1e3:8.2f} ms/frame  acc {v0:.6f}",
+              file=sys.stderr)
+
+    vals = np.array([r["value"] for r in rows])
+    print(json.dumps({
+        "mode": "cpu_virtual_mesh",
+        "note": "2 physical cores time-share all virtual devices; wall-clock "
+                "is a contention signal, not scaling efficiency (see header)",
+        "n_devices_available": n_avail,
+        "rows": rows,
+        "all_N_agree": bool(np.allclose(vals, vals[0], rtol=2e-4)),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["tpu", "cpu"], default="tpu")
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--size-cpu", type=int, default=64)
+    ap.add_argument("--bounces", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+    if args.mode == "tpu":
+        mode_tpu(args)
+    else:
+        mode_cpu(args)
+
+
+if __name__ == "__main__":
+    main()

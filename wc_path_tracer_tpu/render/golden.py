@@ -562,7 +562,12 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     # occlusion_fn attribute; falls back to the full closest-hit query)
     occ_fn = getattr(intersect_fn, "occlusion_fn", None)
     if occ_fn is not None:
-        visible = ~occ_fn(scene, shadow_o, wi, thresh, cfg)
+        # disabled lanes (non-NEE lobes, dead rays, lightless scenes) get a
+        # -inf search bound: ``ok`` masks their result anyway, and backends
+        # that cull by the bound (cluster sweep) then do zero work for them
+        visible = ~occ_fn(scene, shadow_o, wi,
+                          jnp.where(mask & has_lights, thresh, -KINF),
+                          cfg)
     else:
         shadow = intersect_fn(scene, shadow_o, wi, cfg)
         visible = (~shadow.hit) | (shadow.t >= thresh)
@@ -635,7 +640,15 @@ def _bounce_segment(scene: Scene, cfg: RenderConfig, intersect_fn, carry):
 
     o, d, total, trans, seed, alive, pdf_prev, bounce_idx = carry
     with profiling.stage("intersect"):
-        rec = intersect_fn(scene, o, d, cfg)
+        # Terminated lanes keep stale (o, d) and their HitRecord is fully
+        # masked out below — a backend that can exploit that (the cluster
+        # sweep: dead lanes cull to zero clusters, and the dynamic ray
+        # sort groups them into all-dead blocks that skip the kernel loop
+        # entirely) declares ``accepts_alive`` and receives the mask.
+        if getattr(intersect_fn, "accepts_alive", False):
+            rec = intersect_fn(scene, o, d, cfg, alive=alive)
+        else:
+            rec = intersect_fn(scene, o, d, cfg)
 
     # miss -> sky * transmittance, path ends (pathTracer.comp:248-249).
     # The sky is never light-sampled, so it carries no MIS weight.

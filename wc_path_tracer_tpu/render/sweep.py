@@ -100,9 +100,66 @@ def _tile_permuter(R: int, cfg: RenderConfig):
     return fwd, inv
 
 
+def _morton_key(origin, direction, lo, hi, active=None):
+    """(R,) uint32 coherence key: inactivity (1 bit, major — terminated /
+    disabled rays sort to the end, forming all-dead kernel blocks whose
+    cluster loop never runs), then direction octant (3 bits), then a 12-bit
+    Morton code of the origin quantized to a 16^3 grid over the scene
+    bounds.  Rays sharing a key start near each other and head the same
+    way, so a sorted 512-ray kernel block spans a tight frustum and the
+    cluster cull discards most of the scene for it."""
+    U = jnp.uint32
+    d = direction
+    octant = ((d[:, 0] < 0).astype(U) * U(4)
+              + (d[:, 1] < 0).astype(U) * U(2)
+              + (d[:, 2] < 0).astype(U))
+    ext = jnp.maximum(hi - lo, F32(1e-6))
+    q = jnp.clip((origin - lo) / ext * F32(16.0), 0.0, 15.0).astype(U)
+    morton = jnp.zeros_like(octant)
+    for b in range(4):
+        for ax, off in ((0, 2), (1, 1), (2, 0)):
+            morton = morton | (((q[:, ax] >> U(b)) & U(1))
+                               << U(3 * b + off))
+    key = (octant << U(12)) | morton
+    if active is not None:
+        key = key | ((~active).astype(U) << U(15))
+    return key
+
+
+def _sort_permuter(origin, direction, cmin, cmax, active=None):
+    """Dynamic (fwd, inv) permuter: Morton-sort rays for block coherence.
+
+    fwd gathers arrays into sorted order; inv scatters results back to ray
+    order (unique-index scatter, the same pattern as golden's compaction
+    un-permute).  Costs one argsort + a handful of (R, k) permutes per
+    closest-hit query — worth it when incoherent bounce wavefronts would
+    otherwise activate most clusters for every block (cfg.ray_sort doc)."""
+    sg = jax.lax.stop_gradient
+    lo = jnp.min(sg(cmin), axis=0)
+    hi = jnp.max(sg(cmax), axis=0)
+    key = _morton_key(sg(origin), sg(direction), lo, hi, active)
+    perm = jnp.argsort(key)
+
+    def fwd(x):
+        return x[perm]
+
+    def inv(x):
+        return jnp.zeros_like(x).at[perm].set(x, unique_indices=True)
+
+    return fwd, inv
+
+
+def _permuter(origin, direction, cfg, cmin, cmax, active=None):
+    if cfg.ray_sort == "dynamic":
+        return _sort_permuter(origin, direction, cmin, cmax, active)
+    if cfg.ray_sort == "static":
+        return _tile_permuter(origin.shape[0], cfg)
+    return None
+
+
 def intersect_scene_sweep(scene: Scene, origin, direction, cfg: RenderConfig,
                           interpret: bool | None = None, tables=None,
-                          vslabs=None):
+                          vslabs=None, alive=None):
     """Closest-hit query via the cluster-sweep kernel.
 
     ``tables``: optional prebuilt (tris, cmin, cmax) from
@@ -112,6 +169,12 @@ def intersect_scene_sweep(scene: Scene, origin, direction, cfg: RenderConfig,
     ``vslabs``: optional prebuilt ATTACHED kernels.cluster.vertex_slabs
     (same hoisting; must NOT be stop-gradiented, it is the re-shade's
     vertex-gradient path).
+    ``alive``: optional (R,) bool — lanes the transport has terminated.
+    Their HitRecord is fully masked downstream (golden._bounce_segment),
+    so they get a -inf search bound: the cull assigns them zero active
+    clusters, and under ``ray_sort="dynamic"`` they sort into all-dead
+    blocks whose kernel loop exits immediately — termination-proportional
+    work without compaction's permute-everything cost.
     """
     if interpret is None:
         # Mosaic compiles only for TPU; CPU (tests, dev) uses the interpreter
@@ -124,15 +187,20 @@ def intersect_scene_sweep(scene: Scene, origin, direction, cfg: RenderConfig,
     if tables is None:
         tables = cluster.build_cluster_tables(jax.tree.map(sg, scene.mesh))
     tris, cmin, cmax = tables
-    perm = _tile_permuter(origin.shape[0], cfg)
+    t_bound = t_s_ng if alive is None else jnp.where(alive, t_s_ng, -KINF)
+    perm = _permuter(origin, direction, cfg, cmin, cmax, active=alive)
     if perm is None:
-        pay = cluster.cluster_sweep(sg(origin), sg(direction), t_s_ng,
+        pay = cluster.cluster_sweep(sg(origin), sg(direction), t_bound,
                                     tris, cmin, cmax, interpret=interpret)
     else:
         fwd, inv = perm
         pay = inv(cluster.cluster_sweep(fwd(sg(origin)), fwd(sg(direction)),
-                                        fwd(t_s_ng), tris, cmin, cmax,
+                                        fwd(t_bound), tris, cmin, cmax,
                                         interpret=interpret))
+    if alive is not None:
+        # restore the un-bounded t on dead lanes so the payload column
+        # semantics (t == t_init on miss) hold for the masked-out record
+        pay = pay.at[:, 0].set(jnp.where(alive, pay[:, 0], t_s_ng))
 
     t_tr_ng = pay[:, 0]
     tri_hit = pay[:, 11] >= F32(0.0)
@@ -223,7 +291,11 @@ def occluded_sweep(scene: Scene, origin, direction, max_dist,
     if tables is None:
         tables = cluster.build_cluster_tables(jax.tree.map(sg, scene.mesh))
     tris, cmin, cmax = tables
-    perm = _tile_permuter(origin.shape[0], cfg)
+    # lanes with a non-positive bound can occlude nothing (the transport
+    # disables NEE lanes by passing -inf): treat them as inactive so the
+    # dynamic sort groups them into blocks the kernel skips
+    perm = _permuter(origin, direction, cfg, cmin, cmax,
+                     active=max_dist > F32(0.0))
     if perm is None:
         pay = cluster.cluster_sweep(origin, direction, max_dist,
                                     tris, cmin, cmax, interpret=interpret)
@@ -236,6 +308,7 @@ def occluded_sweep(scene: Scene, origin, direction, max_dist,
 
 
 intersect_scene_sweep.occlusion_fn = occluded_sweep
+intersect_scene_sweep.accepts_alive = True
 
 
 def make_intersect_fn(scene: Scene):
@@ -246,12 +319,14 @@ def make_intersect_fn(scene: Scene):
         jax.tree.map(jax.lax.stop_gradient, scene.mesh))
     vslabs = cluster.vertex_slabs(scene.mesh)  # attached: vertex grads
 
-    def fn(scene, origin, direction, cfg):
+    def fn(scene, origin, direction, cfg, alive=None):
         return intersect_scene_sweep(scene, origin, direction, cfg,
-                                     tables=tables, vslabs=vslabs)
+                                     tables=tables, vslabs=vslabs,
+                                     alive=alive)
 
     fn.occlusion_fn = lambda scene, o, d, maxd, cfg: occluded_sweep(
         scene, o, d, maxd, cfg, tables=tables)
+    fn.accepts_alive = True
     return fn
 
 

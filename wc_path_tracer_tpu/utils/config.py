@@ -91,6 +91,22 @@ class RenderConfig:
             return self.compact_from
         return self.rr_start_bounce + 1 if self.use_rr else 1
 
+    ray_sort: str = "dynamic"    # ray regrouping before the cluster sweep
+    #                              (sweep renderer only): "dynamic"
+    #                              (default) = per-bounce Morton sort
+    #                              (aliveness bit, direction octant,
+    #                              quantized origin) so every 512-ray
+    #                              kernel block sees a tight frustum and
+    #                              terminated rays form all-dead blocks
+    #                              the kernel skips — measured 3-4x on the
+    #                              kernel stage for incoherent bounce
+    #                              wavefronts, +22% end-to-end on the
+    #                              bunny bench (BASELINE.md round 4);
+    #                              "static" = pixel tile permutation
+    #                              (reshape-only, free, primary rays only);
+    #                              "off" = none.  All three produce
+    #                              bit-identical images (tests/test_sweep).
+
     traversal: str = "stackless"  # BVH walk flavor: "stackless" = escape-link
     #                               DFS (one i32 cursor per lane, cheapest
     #                               iteration on the VPU); "stack" = per-lane
@@ -113,6 +129,8 @@ class RenderConfig:
             raise ValueError("max_bounces must be >= 0")
         if self.sky not in ("gradient", "black"):
             raise ValueError(f"unknown sky model: {self.sky!r}")
+        if self.ray_sort not in ("static", "dynamic", "off"):
+            raise ValueError(f"unknown ray_sort: {self.ray_sort!r}")
         if self.traversal not in ("stackless", "stack"):
             raise ValueError(f"unknown traversal: {self.traversal!r}")
         if self.compact_blocks <= 0:
