@@ -24,3 +24,32 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--design-points", action="store_true", default=False,
+        help="also run parity suites for non-production backends "
+             "(render/wavefront.py XLA walks, kernels/traversal.py Pallas "
+             "packet BVH) — kept design points dispatch.auto never selects; "
+             "sunset criteria in BASELINE.md")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "design_points: parity tests for kept-but-losing backends "
+        "(opt-in via --design-points)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--design-points"):
+        return
+    skip = pytest.mark.skip(
+        reason="design-point backend parity suite; run with --design-points")
+    for item in items:
+        if "design_points" in item.keywords:
+            item.add_marker(skip)

@@ -17,6 +17,9 @@ from wc_path_tracer_tpu.utils.config import RenderConfig
 
 from test_render_bvh import random_soup_scene, random_rays
 
+pytestmark = pytest.mark.design_points  # kept-but-losing backends (BASELINE.md sunset criteria)
+
+
 KINF = np.float32(3.402823466e38)
 
 

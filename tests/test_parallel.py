@@ -70,7 +70,8 @@ def test_loss_grad_psum_matches_unsharded_grad():
     target = jnp.zeros((16, 16, 3), jnp.float32)
     mesh = pmesh.make_mesh()
 
-    fn = prender.sharded_render_loss_grad(mesh, cfg)
+    trainable = ("albedo", "emission", "emission_strength", "roughness")
+    fn = prender.sharded_scene_loss_grad(mesh, cfg, trainable)
     loss_sh, grads_sh = fn(scene, mats, jnp.uint32(0), target)
 
     # unsharded oracle
@@ -80,15 +81,14 @@ def test_loss_grad_psum_matches_unsharded_grad():
         img = golden.render_frame(s, mats, cfg, 0)
         return jnp.mean((img - target) ** 2)
 
-    params = {k: getattr(scene.materials, k)
-              for k in ("albedo", "emission", "emission_strength", "roughness")}
+    params = {k: getattr(scene.materials, k) for k in trainable}
     loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
 
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
     for k in grads_ref:
-        # sharded grads are sums of squared-error -> scale by npix for mean
+        # one convention: sharded grads ARE mean-scaled (no npix fudge)
         np.testing.assert_allclose(
-            np.asarray(grads_sh[k]) / (16 * 16 * 3), np.asarray(grads_ref[k]),
+            np.asarray(grads_sh[k]), np.asarray(grads_ref[k]),
             rtol=2e-4, atol=1e-6)
 
 
@@ -113,6 +113,7 @@ def test_train_step_reduces_loss():
 
     losses = []
     for i in range(25):
-        scene, opt_state, loss = step(scene, opt_state, mats, jnp.uint32(0), target)
+        scene, mats, opt_state, loss = step(scene, mats, opt_state,
+                                            jnp.uint32(0), target)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.2, losses

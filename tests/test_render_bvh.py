@@ -14,6 +14,9 @@ from wc_path_tracer_tpu.scene.types import (
     MATERIAL_LAMBERTIAN, MATERIAL_METAL, SceneBuilder)
 from wc_path_tracer_tpu.utils.config import RenderConfig
 
+pytestmark = pytest.mark.design_points  # kept-but-losing backends (BASELINE.md sunset criteria)
+
+
 
 def random_soup_scene(n_tris=64, n_spheres=3, seed=0, spread=2.0):
     rng = np.random.default_rng(seed)

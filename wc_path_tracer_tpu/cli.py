@@ -151,6 +151,21 @@ def cmd_render(args):
     r.save_png(args.out, tonemap=args.tonemap, gamma=args.gamma)
     print(f"wrote {args.out}", file=sys.stderr)
 
+    if args.debug_bvh:
+        # BVH wireframe overlay — the capability the reference wires up but
+        # ships commented out (src/editor.jai:159-171); here it is live
+        import numpy as np
+
+        from wc_path_tracer_tpu.io.image import write_png
+        from wc_path_tracer_tpu.render.debug import draw_aabb_overlay
+        from wc_path_tracer_tpu.scene.camera import camera_matrices
+        mats = camera_matrices(r.camera, cfg.width / cfg.height)
+        over = draw_aabb_overlay(np.asarray(r.image), mats,
+                                 r.scene.mesh.bvh_min, r.scene.mesh.bvh_max)
+        write_png(args.debug_bvh,
+                  (np.clip(over, 0.0, 1.0) * 255.0).astype(np.uint8))
+        print(f"wrote BVH overlay {args.debug_bvh}", file=sys.stderr)
+
 
 def cmd_invert(args):
     import dataclasses
@@ -222,6 +237,10 @@ def main(argv=None):
     pr.add_argument("--out", default="render.png")
     pr.add_argument("--tonemap", default=None)
     pr.add_argument("--gamma", type=float, default=None)
+    pr.add_argument("--debug-bvh", metavar="PNG",
+                    help="also write the frame with BVH node AABB wireframes "
+                         "overlaid (the reference's disabled box renderer, "
+                         "src/editor.jai:159-171 — live here)")
     pr.add_argument("--checkpoint", help="save renderer state to this dir")
     pr.add_argument("--resume", help="resume renderer state from this dir")
     pr.add_argument("--metrics", help="JSONL metrics path")

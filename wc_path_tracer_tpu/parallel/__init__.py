@@ -5,6 +5,6 @@ from wc_path_tracer_tpu.parallel.mesh import (  # noqa: F401
 )
 from wc_path_tracer_tpu.parallel.render import (  # noqa: F401
     sharded_render_frame,
-    sharded_render_loss_grad,
+    sharded_scene_loss_grad,
     make_train_step,
 )

