@@ -63,7 +63,21 @@ def main():
                          "default — VERDICT r4 weak #6)")
     args = ap.parse_args()
 
+    import os
+    # Persistent executable cache: BENCH_r04 recorded an 18-minute compile
+    # for the 1024^2 unrolled fwd+bwd jit (the runtime-optimal unroll=True
+    # bounce loop trades compile time for the measured 2.4x runtime win,
+    # render/golden.py trace_rays).  The cache makes every RE-compile of an
+    # unchanged graph ~free across processes/rounds (verified on this
+    # backend: 2nd-process compile 110 s -> 1.7 s).  BASELINE.md round 5.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
     from wc_path_tracer_tpu.models import builtin
@@ -298,6 +312,15 @@ def _scaling_at(n: int, scene, mats, cfg, dt_full: float):
     parallel/render.py's row sharding (zero forward collectives), so the
     band wall-clock on the one real chip is the per-device wall-clock of
     an n-chip DP render of the same frame.
+
+    Measured under the PRODUCTION dispatch policy: each jitted step
+    renders ``n`` frames of the band (vmapped — sample batching), so
+    per-op vector work stays constant as the band shrinks instead of
+    sinking into this backend's ~2.5 ms serialized-stage floor.  That is
+    what a progressive renderer/trainer actually dispatches; the round-4
+    number (0.63) measured the 1-frame-per-dispatch anti-pattern
+    (VERDICT r4 ask #1 / BASELINE.md round 5; tools/exp_scaling.py holds
+    the full naive-vs-batched curve + the weak-scaling row).
     """
     import dataclasses
 
@@ -307,13 +330,19 @@ def _scaling_at(n: int, scene, mats, cfg, dt_full: float):
     from wc_path_tracer_tpu.render import golden
 
     band = cfg.height // n
+    batch = n
     trainable = ("albedo", "emission", "emission_strength", "roughness")
 
     def loss_fn(params, scene, mats, frame, target):
         m = dataclasses.replace(scene.materials, **params)
         s = dataclasses.replace(scene, materials=m)
-        img = golden.render_rows(s, mats, cfg, frame, jnp.uint32(0), band)
-        return jnp.mean((img - target[:band]) ** 2)
+
+        def one(f):
+            img = golden.render_rows(s, mats, cfg, f, jnp.uint32(0), band)
+            return jnp.mean((img - target[:band]) ** 2)
+
+        frames = frame + jnp.arange(batch, dtype=jnp.uint32)
+        return jnp.mean(jax.vmap(one)(frames))
 
     K = 5
 
@@ -326,13 +355,14 @@ def _scaling_at(n: int, scene, mats, cfg, dt_full: float):
             return acc + loss + sum(jnp.sum(g)
                                     for g in jax.tree.leaves(grads)), None
         acc, _ = jax.lax.scan(body, jnp.float32(0),
-                              jnp.arange(1, K + 1, dtype=jnp.uint32))
+                              jnp.arange(1, K + 1, dtype=jnp.uint32)
+                              * jnp.uint32(batch))
         return acc
 
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     float(run(scene, mats, target))
     best = min(float_timed(run, scene, mats, target) for _ in range(2))
-    return round(dt_full / (n * best / K), 4)
+    return round(dt_full / (n * best / (K * batch)), 4)
 
 
 def _bvh_row(args):

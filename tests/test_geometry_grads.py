@@ -244,3 +244,134 @@ def test_unknown_trainable_rejected():
     scene, cam = _simple_scene()
     with pytest.raises(ValueError, match="requires a scene.camera.Camera"):
         reg.get_params(scene, camera_matrices(cam, 1.0), ("camera_yaw",))
+
+
+def test_mesh_silhouette_boundary_term_matches_fd():
+    """VERDICT r4 ask #4 'Done' criterion (a): the boundary-term FD test
+    with a MESH occluder.  A dark quad occludes an emissive quad behind it;
+    with edge_grads the triangle coverage estimator makes the primal
+    continuous in VERTEX positions, so loss-level central differences (no
+    interior masking — the silhouette term IS the signal) must match
+    autodiff."""
+    b = SceneBuilder()
+    m = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.2, 0.2, 0.2))
+    lm = b.add_material(MATERIAL_LAMBERTIAN, emission=(1.0, 1.0, 1.0),
+                        emission_strength=5.0)
+    occ = np.array([[-1, -1, -3], [1, -1, -3], [1, 1, -3],
+                    [-1, -1, -3], [1, 1, -3], [-1, 1, -3]], np.float32)
+    b.add_mesh(occ, np.arange(6, dtype=np.int32), tri_material=m)
+    quad = np.array([[-4, -4, -8], [4, -4, -8], [4, 4, -8],
+                     [-4, -4, -8], [4, 4, -8], [-4, 4, -8]], np.float32)
+    b.add_mesh(quad, np.arange(6, dtype=np.int32), tri_material=lm)
+    scene, cam = b.build(), Camera.create(position=(0.0, 0.0, 1.0))
+
+    cfg = RenderConfig(width=32, height=32, samples=1, max_bounces=1,
+                       sky="black", edge_grads=True)
+    mats = camera_matrices(cam, 1.0)
+    target = golden.render_frame(scene, mats, cfg, 0) * 0.5
+
+    def loss(params):
+        s, c = reg.apply_params(scene, cam, params)
+        return jnp.mean((golden.render_frame(s, camera_matrices(c, 1.0),
+                                             cfg, 0) - target) ** 2)
+
+    trainable = ("vertices",)
+    eps, rtol = 1e-3, 0.10
+    params = reg.get_params(scene, cam, trainable)
+    g = jax.grad(loss)(params)
+    rng = np.random.default_rng(0)
+    direction = {k: jnp.asarray(rng.normal(size=np.shape(v)), jnp.float32)
+                 for k, v in params.items()}
+    ad = sum(float(jnp.sum(g[k] * direction[k])) for k in params)
+
+    def shift(sign):
+        return {k: v + sign * eps * direction[k] for k, v in params.items()}
+
+    fd = float((loss(shift(+1)) - loss(shift(-1))) / (2 * eps))
+    assert np.isfinite(ad) and np.isfinite(fd)
+    assert abs(fd) > 1e-5          # the boundary term dominates by design
+    assert abs(ad - fd) <= rtol * abs(fd), (ad, fd)
+
+
+def test_tri_edge_sweep_matches_brute():
+    """The cluster-sweep silhouette query (VERDICT r4 ask #4a) agrees with
+    the brute backend on a real mesh: same winners, same attached t, same
+    coverage alpha."""
+    from wc_path_tracer_tpu.models.procedural import bunny_like_scene
+    from wc_path_tracer_tpu.render import sweep
+    from wc_path_tracer_tpu.scene.camera import primary_ray_directions
+
+    scene, cam = bunny_like_scene(2)
+    mats = camera_matrices(cam, 1.0)
+    W = H = 24
+    origin = jnp.broadcast_to(mats.position, (W * H, 3))
+    dirs = primary_ray_directions(mats, W, H).reshape(-1, 3)
+    cfg = RenderConfig(width=W, height=H, edge_grads=True)
+    pix_ang = 2.0 * mats.inverse_projection[1, 1] / H
+
+    cb = golden.tri_edge_candidate_brute(scene, origin, dirs, cfg, pix_ang)
+    cs = sweep.tri_edge_candidate_sweep(scene, origin, dirs, cfg, pix_ang)
+    np.testing.assert_array_equal(np.asarray(cb["found"]),
+                                  np.asarray(cs["found"]))
+    f = np.asarray(cb["found"])
+    np.testing.assert_allclose(np.asarray(cs["t_w"])[f],
+                               np.asarray(cb["t_w"])[f], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs["alpha"])[f],
+                               np.asarray(cb["alpha"])[f],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cs["material"])[f],
+                                  np.asarray(cb["material"])[f])
+
+
+def test_mesh_vertex_inversion_moves_silhouette_sweep():
+    """VERDICT r4 ask #4 'Done' criterion (b): a vertex inversion that
+    moves a silhouette on a >=1k-triangle mesh via the SWEEP backend.
+
+    A dark 1280-tri mesh against a bright sky, primary rays only: interior
+    pixels carry ZERO vertex gradient (flat radiance), so any recovery is
+    purely the silhouette boundary term supplied by the triangle coverage
+    estimator through the cluster-sweep widened query.  The optimized
+    parameter is a global mesh translation applied through the vertex
+    array (the gradient is the psum of every silhouette vertex's coverage
+    gradient — interior vertices contribute exactly zero)."""
+    import optax
+    from wc_path_tracer_tpu.models.procedural import icosphere
+    from wc_path_tracer_tpu.render import sweep
+    from wc_path_tracer_tpu.scene.types import SceneBuilder
+
+    v, i = icosphere(3, radius=1.0)             # 1280 tris >= 1k
+    assert len(i) // 3 >= 1000
+    b = SceneBuilder()
+    m = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.02, 0.02, 0.02))
+    b.add_mesh(v, i, tri_material=m)
+    scene = b.build()
+    cam = Camera.create(position=(0.0, 0.0, 3.0))
+    cfg = RenderConfig(width=32, height=32, samples=1, max_bounces=0,
+                       sky="gradient", edge_grads=True)
+    mats = camera_matrices(cam, 1.0)
+
+    target = sweep.render_frame(scene, mats, cfg, 0)
+    true_shift = jnp.asarray([0.12, -0.08], jnp.float32)   # in-plane (x, y):
+    # depth (z) is only weakly constrained by a silhouette and drifts
+
+    def loss_fn(offset):
+        off3 = jnp.concatenate([true_shift + offset, jnp.zeros(1)])
+        s = dataclasses.replace(scene, mesh=dataclasses.replace(
+            scene.mesh, vertices=scene.mesh.vertices + off3))
+        img = sweep.render_frame(s, mats, cfg, 0)
+        return jnp.mean((img - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    opt = optax.adam(1e-2)
+    offset = jnp.zeros(2, jnp.float32)
+    state = opt.init(offset)
+    losses = []
+    for _ in range(120):
+        l, g = vg(offset)
+        losses.append(float(l))
+        up, state = opt.update(g, state, offset)
+        offset = optax.apply_updates(offset, up)
+    err0 = float(jnp.linalg.norm(true_shift))
+    err1 = float(jnp.linalg.norm(true_shift + offset))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+    assert err1 < err0 / 3, (err0, err1, losses[:3] + losses[-3:])

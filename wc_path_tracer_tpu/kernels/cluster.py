@@ -55,7 +55,10 @@ KINF = ix.KINFINITY
 
 CLUSTER_TRIS = 128   # one cluster = one 128-lane vector of triangles
 CLUSTER_ROWS = 16    # f32 rows per cluster slab (9 coords + material + pad)
-RAY_BLOCK = 512      # rays per grid step
+RAY_BLOCK = 512      # default rays per grid step (overridable per call:
+#                      smaller blocks see tighter frusta under sorted rays —
+#                      the round-5 active-list redesign removed the RB*C
+#                      SMEM cap that pinned this at 512, see _sweep_chunk)
 VMEM_TABLE_BYTES = 12 * 1024 * 1024  # triangle-table residency budget
 
 # accumulator / payload column layout (16 f32 lanes per ray)
@@ -115,17 +118,12 @@ def vertex_slabs(mesh):
     return coords.reshape(9, C, CLUSTER_TRIS)
 
 
-def build_cluster_tables(mesh):
-    """Derive (tris, cmin, cmax) cluster tables from a MeshBank, inside jit.
-
-    tris: (C*CLUSTER_ROWS, 128) f32 — cluster c occupies rows
-    [c*16, (c+1)*16): rows 0..8 = ax..cz (bank-global coordinates), row 9 =
-    material id.  Dead slots (padding, removed draws) are baked as
-    degenerate zero triangles (det == 0 -> NaN u/v -> miss) and excluded
-    from the cluster AABBs, which keeps runtime draw add/remove correct
-    without host-side rebuilds.
-    """
-    a, b, c, mat, lv, C = _padded_tri_coords(mesh)
+def tables_from_coords(a, b, c, mat, lv, C):
+    """Assemble (tris, cmin, cmax) kernel tables from explicit per-slot
+    coordinates (the shape `_padded_tri_coords` returns).  Split out of
+    build_cluster_tables so alternative coordinate sets — e.g. the
+    silhouette estimator's miter-expanded triangles — reuse the exact
+    layout/AABB logic."""
     Tpad = C * CLUSTER_TRIS
 
     cols = jnp.stack([a[:, 0], a[:, 1], a[:, 2],
@@ -147,13 +145,151 @@ def build_cluster_tables(mesh):
     return tris, cmin, cmax
 
 
-def _sweep_kernel(nact_ref, clist_ref, bt0_ref, base_ref, rays_ref, prev_ref,
-                  tris_ref, out_ref):
+def build_cluster_tables(mesh):
+    """Derive (tris, cmin, cmax) cluster tables from a MeshBank, inside jit.
+
+    tris: (C*CLUSTER_ROWS, 128) f32 — cluster c occupies rows
+    [c*16, (c+1)*16): rows 0..8 = ax..cz (bank-global coordinates), row 9 =
+    material id.  Dead slots (padding, removed draws) are baked as
+    degenerate zero triangles (det == 0 -> NaN u/v -> miss) and excluded
+    from the cluster AABBs, which keeps runtime draw add/remove correct
+    without host-side rebuilds.
+    """
+    a, b, c, mat, lv, C = _padded_tri_coords(mesh)
+    return tables_from_coords(a, b, c, mat, lv, C)
+
+
+MXU_PRECISION = jax.lax.Precision.HIGHEST
+# Round-5 measurement (tools/exp_mxu_kernel.py, 512^2 bunny-21.8k query):
+#   HIGHEST (f32-faithful): mxu 63.8/169.4 ms (primary/bounce) vs
+#                           mt  44.2/123.2 ms  -> MXU LOSES ~1.4x
+#   DEFAULT (bf16):         mxu 86.4 ms bounce -> wins 1.43x, but bf16 t
+#                           (8 mantissa bits) is unacceptable for
+#                           closest-hit ordering.
+# Mosaic rejects HIGH (bf16x3) inside kernels, and a manual hi/lo split
+# needs both operands split (= HIGHEST's cost).  Conclusion: the MT VPU
+# kernel stays the default; "mxu" remains an opt-in measured design point
+# (RenderConfig.cluster_kernel) awaiting hardware where f32 MXU matmuls
+# are cheaper.  This is also the evidence the MT kernel is compute-bound
+# on the VPU, not scheduling-bound (BASELINE.md round-5 roofline note).
+MXU_ROWS = 8          # K rows of the plane-form weight slab (o,d,1 padded)
+MXU_FIELDS = 6        # Q, P, Bu, Au, Bv, Av
+
+
+def mxu_tables_from_coords(a, b, c, mat, lv, C):
+    """Plane-form tables for the MXU kernel variant: (trisW (C*8, 768),
+    cmin, cmax, mat_tbl (C, 128)).
+
+    Per triangle, barycentrics are affine maps of the hit point
+    x = o + t*d:  with n = e1 x e2, m = n.n,  u(x) = au.x + bu where
+    au = (e2 x n)/m, and v(x) = av.x + bv where av = (n x e1)/m; the
+    plane is n.x + d0 = 0.  Substituting x gives, per (ray, triangle),
+    SIX dot products against [o, d, 1]:  Q = n.d,  P = n.o + d0,
+    Bu = au.d,  Au = au.o + bu,  Bv = av.d,  Av = av.o + bv — all six
+    computed by ONE (RB, 8) @ (8, 768) matmul on the MXU, leaving ~20
+    cheap VPU ops per visit (t = -P/Q; u = Au + t*Bu; v = Av + t*Bv;
+    bounds tests) instead of Moller-Trumbore's ~52.  Numerically a
+    different (algebraically equivalent) method than MT: results agree to
+    f32 roundoff, not bitwise — hence an opt-in variant
+    (RenderConfig.cluster_kernel).
+
+    Dead slots get n = au = av = 0: Q = 0 -> t = +-inf/NaN -> every
+    comparison false -> miss (NaN-safe like the MT kernel's degenerates).
+    """
+    e1 = b - a
+    e2 = c - a
+    n = jnp.cross(e1, e2)
+    m = jnp.sum(n * n, -1)
+    m_safe = jnp.where(m > F32(0.0), m, F32(1.0))[:, None]
+    au = jnp.cross(e2, n) / m_safe
+    av = jnp.cross(n, e1) / m_safe
+    d0 = -jnp.sum(n * a, -1)
+    bu = -jnp.sum(au * a, -1)
+    bv = -jnp.sum(av * a, -1)
+    z = jnp.zeros_like(d0)
+
+    def col(o_part, d_part, c_part):   # rows: o(3), d(3), 1, pad
+        return jnp.stack([o_part[:, 0], o_part[:, 1], o_part[:, 2],
+                          d_part[:, 0], d_part[:, 1], d_part[:, 2],
+                          c_part, z], axis=1)          # (Tpad, 8)
+
+    zero3 = jnp.zeros_like(n)
+    fields = [
+        col(zero3, n, z),        # Q  = n.d
+        col(n, zero3, d0),       # P  = n.o + d0
+        col(zero3, au, z),       # Bu = au.d
+        col(au, zero3, bu),      # Au = au.o + bu
+        col(zero3, av, z),       # Bv = av.d
+        col(av, zero3, bv),      # Av = av.o + bv
+    ]
+    W = jnp.stack(fields, axis=2)                      # (Tpad, 8, 6)
+    trisW = W.reshape(C, CLUSTER_TRIS, MXU_ROWS, MXU_FIELDS) \
+             .transpose(0, 2, 3, 1) \
+             .reshape(C * MXU_ROWS, MXU_FIELDS * CLUSTER_TRIS)
+
+    vmin = jnp.minimum(jnp.minimum(a, b), c)
+    vmax = jnp.maximum(jnp.maximum(a, b), c)
+    vmin = jnp.where(lv[:, None], vmin, KINF)
+    vmax = jnp.where(lv[:, None], vmax, -KINF)
+    cmin = jnp.min(vmin.reshape(C, CLUSTER_TRIS, 3), axis=1)
+    cmax = jnp.max(vmax.reshape(C, CLUSTER_TRIS, 3), axis=1)
+    return trisW, cmin, cmax, mat.reshape(C, CLUSTER_TRIS)
+
+
+def build_cluster_tables_mxu(mesh):
+    a, b, c, mat, lv, C = _padded_tri_coords(mesh)
+    return mxu_tables_from_coords(a, b, c, mat, lv, C)
+
+
+def neighbor_slabs(mesh):
+    """Detached per-cluster slabs for the silhouette estimator's edge
+    classification: (nbrn (9, C, 128), nbrok (3, C, 128)).
+
+    Row layout of axis 0: nbrn rows 0:3 / 3:6 / 6:9 are the geometric
+    normal of the neighbor across edges (a,b) / (b,c) / (c,a); nbrok row k
+    is 1.0 where that neighbor exists and is live.  All detached — the
+    silhouette classification is discrete."""
+    sg = jax.lax.stop_gradient
+    a, b, c, _, lv, C = _padded_tri_coords(jax.tree.map(sg, mesh))
+    n_all = jnp.cross(b - a, c - a)                     # (Tpad, 3) detached
+    T = mesh.triangle_capacity
+    Tpad = C * CLUSTER_TRIS
+    nbr = jnp.pad(mesh.tri_neighbor, ((0, Tpad - T), (0, 0)),
+                  constant_values=-1)
+    live_t = lv
+    ok = (nbr >= 0) & live_t[jnp.maximum(nbr, 0)]       # (Tpad, 3)
+
+    rows = []
+    for k in range(3):
+        nk = jnp.where(ok[:, k:k + 1],
+                       n_all[jnp.maximum(nbr[:, k], 0)], F32(0.0))
+        rows.extend([nk[:, 0], nk[:, 1], nk[:, 2]])
+    nbrn = jnp.stack(rows).reshape(9, C, CLUSTER_TRIS)
+    nbrok = jnp.stack([ok[:, 0], ok[:, 1], ok[:, 2]]) \
+        .astype(jnp.float32).reshape(3, C, CLUSTER_TRIS)
+    return nbrn, nbrok
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sweep_kernel(prefetch: bool):
     """One ray block: walk this block's active clusters front-to-back.
 
+    Two active-list transports share one body (round-5 measurement,
+    BASELINE.md round 5):
+
+    - ``prefetch=True`` — whole-array scalar prefetch: every block's list
+      is SMEM-resident for the full grid.  Fastest (no per-step list DMA)
+      but SMEM footprint is RB*C ints; used whenever that fits the budget
+      (every production config today).
+    - ``prefetch=False`` — per-block (1, C) SMEM slices DMA'd by the
+      pipeline: footprint O(C) regardless of block count.  Removes the
+      round-4 "parked" RB*C ceiling (e.g. ray_block < 512 at high block
+      counts, or very large cluster counts); measured ~7% slower on the
+      bunny at ray_block=512.
+
     Layouts keep rays on sublanes and triangles on lanes throughout, so no
-    in-kernel transposes are ever needed: rays (RAY_BLOCK, 16) slices to
-    (RAY_BLOCK, 1) component columns; a cluster slab (16, CLUSTER_TRIS)
+    in-kernel transposes are ever needed: rays (RB, 16) slices to
+    (RB, 1) component columns; a cluster slab (16, CLUSTER_TRIS)
     slices rows to (1, CLUSTER_TRIS).
 
     The active-cluster list is sorted by the block's nearest entry distance
@@ -164,97 +300,211 @@ def _sweep_kernel(nact_ref, clist_ref, bt0_ref, base_ref, rays_ref, prev_ref,
     lifted to whole clusters.  Corner case: a hit exactly AT a tangent
     cluster boundary (t == entry == exit in exact f32) can be pruned; this
     is measure-zero and accepted.
+
+    Tie note (ADVICE r4): across clusters, exact f32 t-ties resolve to the
+    FIRST-VISITED winner (strict ``t < t_cur`` update), and the visit
+    order depends on block composition (argsort of block-min entry
+    distances) — so a shared-edge triangle pair split across clusters with
+    bitwise-equal t can pick different winners under different ray_sort
+    modes.  Same class as the chunk-order tie above: measure-zero,
+    accepted, and the reason the cross-mode identity claim in
+    utils/config.py excludes exact ties.  (Within a cluster, the lowest
+    lane wins deterministically.)
     """
-    r = pl.program_id(0)
-    C = clist_ref.shape[0] // pl.num_programs(0)
+    def kernel(nact_ref, clist_ref, bt0_ref, base_ref, rays_ref, prev_ref,
+               tris_ref, out_ref):
+        RB = rays_ref.shape[1]
 
-    o_x = rays_ref[0, :, 0:1]
-    o_y = rays_ref[0, :, 1:2]
-    o_z = rays_ref[0, :, 2:3]
-    d_x = rays_ref[0, :, 3:4]
-    d_y = rays_ref[0, :, 4:5]
-    d_z = rays_ref[0, :, 5:6]
-    t_limit = rays_ref[0, :, 7:8]   # farthest cluster-exit per ray
-    lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_BLOCK, CLUSTER_TRIS), 1)
+        if prefetch:
+            r = pl.program_id(0)
+            C = clist_ref.shape[0] // pl.num_programs(0)
+            nact = nact_ref[r]
+            base = base_ref[0]
+            read_clist = lambda j: clist_ref[r * C + j]
+            read_bt0 = lambda j: bt0_ref[r * C + j]
+        else:
+            nact = nact_ref[0, 0, 0]
+            base = base_ref[0, 0]
+            read_clist = lambda j: clist_ref[0, 0, j]
+            read_bt0 = lambda j: bt0_ref[0, 0, j]
 
-    # Best-so-far state lives in the out block (VMEM-resident for the whole
-    # ray block); updates are vector selects.  (A fori_loop-carry variant
-    # compiled but hung at runtime on this backend's Mosaic.)  The initial
-    # state is the PREVIOUS chunk's payload (chunk 0 passes the t_init
-    # payload), so multi-chunk sweeps carry best-t across pallas_calls.
-    out_ref[0] = prev_ref[0]
+        o_x = rays_ref[0, :, 0:1]
+        o_y = rays_ref[0, :, 1:2]
+        o_z = rays_ref[0, :, 2:3]
+        d_x = rays_ref[0, :, 3:4]
+        d_y = rays_ref[0, :, 4:5]
+        d_z = rays_ref[0, :, 5:6]
+        t_limit = rays_ref[0, :, 7:8]   # farthest cluster-exit per ray
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RB, CLUSTER_TRIS), 1)
 
-    nact = nact_ref[r]
-    base = base_ref[0]
+        # Best-so-far state lives in the out block (VMEM-resident for the
+        # whole ray block); updates are vector selects.  (A fori_loop-carry
+        # variant compiled but hung at runtime on this backend's Mosaic.)
+        # The initial state is the PREVIOUS chunk's payload (chunk 0 passes
+        # the t_init payload), so multi-chunk sweeps carry best-t across
+        # pallas_calls.
+        out_ref[0] = prev_ref[0]
 
-    def cond(state):
-        j, stop = state
-        return jnp.logical_and(j < nact, jnp.logical_not(stop))
+        def cond(state):
+            j, stop = state
+            return jnp.logical_and(j < nact, jnp.logical_not(stop))
 
-    def body(state):
-        j, _ = state
-        c = clist_ref[r * C + j]
-        row = pl.multiple_of(c * CLUSTER_ROWS, CLUSTER_ROWS)
-        slab = tris_ref[pl.ds(row, CLUSTER_ROWS), :]      # (16, 128)
-        ax, ay, az = slab[0:1, :], slab[1:2, :], slab[2:3, :]
-        bx, by, bz = slab[3:4, :], slab[4:5, :], slab[5:6, :]
-        cx, cy, cz = slab[6:7, :], slab[7:8, :], slab[8:9, :]
+        def body(state):
+            j, _ = state
+            c = read_clist(j)
+            row = pl.multiple_of(c * CLUSTER_ROWS, CLUSTER_ROWS)
+            slab = tris_ref[pl.ds(row, CLUSTER_ROWS), :]      # (16, 128)
+            ax, ay, az = slab[0:1, :], slab[1:2, :], slab[2:3, :]
+            bx, by, bz = slab[3:4, :], slab[4:5, :], slab[5:6, :]
+            cx, cy, cz = slab[6:7, :], slab[7:8, :], slab[8:9, :]
 
-        # Moller-Trumbore, same operation order as
-        # ops.intersect.ray_triangle_sweep (triangle-only terms stay
-        # (1, CLUSTER_TRIS); mixed terms are (RAY_BLOCK, CLUSTER_TRIS))
-        e1x, e1y, e1z = bx - ax, by - ay, bz - az
-        e2x, e2y, e2z = cx - ax, cy - ay, cz - az
-        oax, oay, oaz = o_x - ax, o_y - ay, o_z - az
-        px = d_y * e2z - d_z * e2y
-        py = d_z * e2x - d_x * e2z
-        pz = d_x * e2y - d_y * e2x
-        inv_det = F32(1.0) / (e1x * px + e1y * py + e1z * pz)
-        qx = oay * e1z - oaz * e1y
-        qy = oaz * e1x - oax * e1z
-        qz = oax * e1y - oay * e1x
-        u = (oax * px + oay * py + oaz * pz) * inv_det
-        v = (d_x * (qx * inv_det) + d_y * (qy * inv_det)
-             + d_z * (qz * inv_det))
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        hit = (t > F32(0)) & (u >= F32(0)) & (u <= F32(1)) \
-            & (v >= F32(0)) & (u + v <= F32(1))
+            # Moller-Trumbore, same operation order as
+            # ops.intersect.ray_triangle_sweep (triangle-only terms stay
+            # (1, CLUSTER_TRIS); mixed terms are (RAY_BLOCK, CLUSTER_TRIS))
+            e1x, e1y, e1z = bx - ax, by - ay, bz - az
+            e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+            oax, oay, oaz = o_x - ax, o_y - ay, o_z - az
+            px = d_y * e2z - d_z * e2y
+            py = d_z * e2x - d_x * e2z
+            pz = d_x * e2y - d_y * e2x
+            inv_det = F32(1.0) / (e1x * px + e1y * py + e1z * pz)
+            qx = oay * e1z - oaz * e1y
+            qy = oaz * e1x - oax * e1z
+            qz = oax * e1y - oay * e1x
+            u = (oax * px + oay * py + oaz * pz) * inv_det
+            v = (d_x * (qx * inv_det) + d_y * (qy * inv_det)
+                 + d_z * (qz * inv_det))
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = (t > F32(0)) & (u >= F32(0)) & (u <= F32(1)) \
+                & (v >= F32(0)) & (u + v <= F32(1))
 
-        t_cur = out_ref[0, :, 0:1]
-        tm = jnp.where(hit & (t < t_cur), t, KINF)
-        t_min = jnp.min(tm, axis=1, keepdims=True)
-        better = t_min < t_cur
+            t_cur = out_ref[0, :, 0:1]
+            tm = jnp.where(hit & (t < t_cur), t, KINF)
+            t_min = jnp.min(tm, axis=1, keepdims=True)
+            better = t_min < t_cur
 
-        # the payload pick (~30 vector ops) only runs when some ray
-        # improved — measured faster than unconditional update despite the
-        # scalar-reduction sync (most active clusters improve nothing)
-        @pl.when(jnp.any(better))
-        def _update():
-            sel = jnp.min(jnp.where(tm == t_min, lane, CLUSTER_TRIS),
-                          axis=1, keepdims=True)
-            onehot = lane == sel
+            # the payload pick (~30 vector ops) only runs when some ray
+            # improved — measured faster than unconditional update despite the
+            # scalar-reduction sync (most active clusters improve nothing)
+            @pl.when(jnp.any(better))
+            def _update():
+                sel = jnp.min(jnp.where(tm == t_min, lane, CLUSTER_TRIS),
+                              axis=1, keepdims=True)
+                onehot = lane == sel
 
-            def pick(j):  # winner's row-j value, (RAY_BLOCK, 1)
-                return jnp.sum(jnp.where(onehot, slab[j:j + 1, :], F32(0.0)),
+                def pick(j):  # winner's row-j value, (RAY_BLOCK, 1)
+                    return jnp.sum(jnp.where(onehot, slab[j:j + 1, :], F32(0.0)),
+                                   axis=1, keepdims=True)
+
+                payload = [pick(j) for j in range(10)]
+                gidx = ((base + c) * CLUSTER_TRIS).astype(jnp.float32) \
+                    + sel.astype(jnp.float32)
+                new = jnp.concatenate(
+                    [t_min] + payload + [gidx]
+                    + [jnp.zeros((RB, 4), jnp.float32)], axis=1)
+                out_ref[0] = jnp.where(better, new, out_ref[0])
+
+            # early exit: every ray finished once min(t_best, its own cluster
+            # horizon) is within the next cluster's entry distance
+            nxt = jnp.minimum(j + 1, nact - 1)
+            bt0_next = read_bt0(nxt)
+            eff = jnp.minimum(out_ref[0, :, 0:1], t_limit)
+            stop = jnp.logical_not(jnp.any(eff > bt0_next))
+            return j + 1, stop
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), nact == 0))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sweep_kernel_mxu(prefetch: bool):
+    """Plane-form kernel variant: the six per-(ray, triangle) dot products
+    ride ONE MXU matmul per cluster visit (see mxu_tables_from_coords);
+    the VPU keeps only the division, two fmas, the bounds tests and the
+    best-t update (~20 mixed ops/visit vs Moller-Trumbore's ~52).  The
+    payload pick carries only (t, material, slot id) — the re-shade
+    re-fetches winner vertices through vertex_slabs, so the vertex columns
+    the MT kernel fills are dead weight here."""
+
+    def kernel(nact_ref, clist_ref, bt0_ref, base_ref, rays_ref, prev_ref,
+               trisW_ref, mat_ref, out_ref):
+        RB = rays_ref.shape[1]
+
+        if prefetch:
+            r = pl.program_id(0)
+            C = clist_ref.shape[0] // pl.num_programs(0)
+            nact = nact_ref[r]
+            base = base_ref[0]
+            read_clist = lambda j: clist_ref[r * C + j]
+            read_bt0 = lambda j: bt0_ref[r * C + j]
+        else:
+            nact = nact_ref[0, 0, 0]
+            base = base_ref[0, 0]
+            read_clist = lambda j: clist_ref[0, 0, j]
+            read_bt0 = lambda j: bt0_ref[0, 0, j]
+
+        # X = [o, d, 1, 0] per ray, built once per block
+        X = jnp.concatenate(
+            [rays_ref[0, :, 0:6],
+             jnp.ones((RB, 1), jnp.float32),
+             jnp.zeros((RB, 1), jnp.float32)], axis=1)       # (RB, 8)
+        t_limit = rays_ref[0, :, 7:8]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RB, CLUSTER_TRIS), 1)
+        out_ref[0] = prev_ref[0]
+
+        def cond(state):
+            j, stop = state
+            return jnp.logical_and(j < nact, jnp.logical_not(stop))
+
+        def body(state):
+            j, _ = state
+            c = read_clist(j)
+            row = pl.multiple_of(c * MXU_ROWS, MXU_ROWS)
+            W = trisW_ref[pl.ds(row, MXU_ROWS), :]           # (8, 768)
+            Y = jax.lax.dot_general(
+                X, W, (((1,), (0,)), ((), ())),
+                precision=MXU_PRECISION,
+                preferred_element_type=jnp.float32)          # (RB, 768)
+            K = CLUSTER_TRIS
+            Q, P = Y[:, 0:K], Y[:, K:2 * K]
+            Bu, Au = Y[:, 2 * K:3 * K], Y[:, 3 * K:4 * K]
+            Bv, Av = Y[:, 4 * K:5 * K], Y[:, 5 * K:6 * K]
+            t = -P * (F32(1.0) / Q)
+            u = Au + t * Bu
+            v = Av + t * Bv
+            hit = (t > F32(0)) & (u >= F32(0)) & (v >= F32(0)) \
+                & (u + v <= F32(1))
+
+            t_cur = out_ref[0, :, 0:1]
+            tm = jnp.where(hit & (t < t_cur), t, KINF)
+            t_min = jnp.min(tm, axis=1, keepdims=True)
+            better = t_min < t_cur
+
+            @pl.when(jnp.any(better))
+            def _update():
+                sel = jnp.min(jnp.where(tm == t_min, lane, CLUSTER_TRIS),
+                              axis=1, keepdims=True)
+                onehot = lane == sel
+                mat_row = mat_ref[pl.ds(c, 1), :]            # (1, 128)
+                matv = jnp.sum(jnp.where(onehot, mat_row, F32(0.0)),
                                axis=1, keepdims=True)
+                gidx = ((base + c) * CLUSTER_TRIS).astype(jnp.float32) \
+                    + sel.astype(jnp.float32)
+                new = jnp.concatenate(
+                    [t_min, jnp.zeros((RB, 9), jnp.float32), matv, gidx,
+                     jnp.zeros((RB, 4), jnp.float32)], axis=1)
+                out_ref[0] = jnp.where(better, new, out_ref[0])
 
-            payload = [pick(j) for j in range(10)]
-            gidx = ((base + c) * CLUSTER_TRIS).astype(jnp.float32) \
-                + sel.astype(jnp.float32)
-            new = jnp.concatenate(
-                [t_min] + payload + [gidx]
-                + [jnp.zeros((RAY_BLOCK, 4), jnp.float32)], axis=1)
-            out_ref[0] = jnp.where(better, new, out_ref[0])
+            nxt = jnp.minimum(j + 1, nact - 1)
+            bt0_next = read_bt0(nxt)
+            eff = jnp.minimum(out_ref[0, :, 0:1], t_limit)
+            stop = jnp.logical_not(jnp.any(eff > bt0_next))
+            return j + 1, stop
 
-        # early exit: every ray finished once min(t_best, its own cluster
-        # horizon) is within the next cluster's entry distance
-        nxt = jnp.minimum(j + 1, nact - 1)
-        bt0_next = bt0_ref[r * C + nxt]
-        eff = jnp.minimum(out_ref[0, :, 0:1], t_limit)
-        stop = jnp.logical_not(jnp.any(eff > bt0_next))
-        return j + 1, stop
+        jax.lax.while_loop(cond, body, (jnp.int32(0), nact == 0))
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), nact == 0))
+    return kernel
 
 
 def sweep_reference(origin, direction, t_init, tris, cmin, cmax):
@@ -299,7 +549,7 @@ def sweep_reference(origin, direction, t_init, tris, cmin, cmax):
     return out
 
 
-def _cull(origin, direction, t_best, cmin, cmax, RB):
+def _cull(origin, direction, t_best, cmin, cmax, RB, ray_block):
     """Ray-vs-cluster AABB cull -> (bt0 (RB, C) block entry distances,
     t_lim (Rp,) per-ray farthest cluster exit).
 
@@ -307,7 +557,7 @@ def _cull(origin, direction, t_best, cmin, cmax, RB):
     (Rp, C) array at scale (round-3 missing #1: ~6 GB at 1M rays x 1536
     clusters).  Above a materialization budget the sweep runs as a
     lax.map over ray-block groups, bounding live memory to
-    GROUP*RAY_BLOCK*C while XLA keeps the VPU busy per group.
+    GROUP*ray_block*C while XLA keeps the VPU busy per group.
     """
     C = cmin.shape[0]
     Rp = origin.shape[0]
@@ -317,7 +567,7 @@ def _cull(origin, direction, t_best, cmin, cmax, RB):
         t0, t1 = ix.ray_box_sweep(o, idv, cmin, cmax)
         enter = (t0 <= t1) & (t1 >= F32(0.0)) & (t0 < tb[:, None])
         t0e = jnp.where(enter, t0, KINF)
-        bt0 = jnp.min(t0e.reshape(-1, RAY_BLOCK, C), axis=1)
+        bt0 = jnp.min(t0e.reshape(-1, ray_block, C), axis=1)
         t_lim = jnp.max(jnp.where(enter, t1, -KINF), axis=1)
         return bt0, t_lim
 
@@ -325,63 +575,110 @@ def _cull(origin, direction, t_best, cmin, cmax, RB):
         return sweep(origin, inv_d, t_best)
 
     # group size: largest power-of-two block count within the budget
-    per_block = RAY_BLOCK * C
+    per_block = ray_block * C
     G = max(1, CULL_MATERIALIZE_ELEMS // per_block)
     while RB % G:
         G -= 1
     bt0, t_lim = jax.lax.map(
         lambda args: sweep(*args),
-        (origin.reshape(RB // G, G * RAY_BLOCK, 3),
-         inv_d.reshape(RB // G, G * RAY_BLOCK, 3),
-         t_best.reshape(RB // G, G * RAY_BLOCK)))
+        (origin.reshape(RB // G, G * ray_block, 3),
+         inv_d.reshape(RB // G, G * ray_block, 3),
+         t_best.reshape(RB // G, G * ray_block)))
     return bt0.reshape(RB, C), t_lim.reshape(Rp)
 
 
 CULL_MATERIALIZE_ELEMS = 64 * 1024 * 1024  # 256 MB f32 cull scratch budget
 
 
-def _sweep_chunk(origin, direction, prev_pay, tris, cmin, cmax, base,
-                 interpret):
+# active lists stay scalar-prefetched (fastest, whole-grid SMEM residency)
+# while RB*C int32 entries fit this budget; beyond it the per-block SMEM
+# slice transport takes over (O(C) footprint, no ceiling)
+SMEM_LIST_INTS = 96 * 1024   # ~384 KB of the ~1 MB SMEM for clist+bt0
+
+
+def _sweep_chunk(origin, direction, prev_pay, tbl, cmin, cmax, base,
+                 interpret, ray_block=RAY_BLOCK, variant="mt"):
     """One pallas_call over one (<= VMEM budget) slice of the cluster
-    tables; prev_pay (Rp, 16) carries best-so-far across chunks."""
+    tables; prev_pay (Rp, 16) carries best-so-far across chunks.
+
+    Active lists (nact, clist, bt0) travel one of two ways (see
+    _make_sweep_kernel): whole-array scalar prefetch when RB*C fits
+    SMEM_LIST_INTS (the measured-fastest path), else per-block (1, C)
+    SMEM BlockSpec slices DMA'd by the pipeline — O(C) SMEM regardless of
+    block count, which removes the round-4 RB*C ceiling (VERDICT r4
+    ask #2).
+    """
     Rp = origin.shape[0]
-    RB = Rp // RAY_BLOCK
+    RB = Rp // ray_block
     C = cmin.shape[0]
+    prefetch = RB * C <= SMEM_LIST_INTS
+    tbl = tuple(tbl)   # (tris,) for MT, (trisW, mat_tbl) for MXU
 
     t_best = prev_pay[:, 0]
-    bt0, t_lim = _cull(origin, direction, t_best, cmin, cmax, RB)
+    bt0, t_lim = _cull(origin, direction, t_best, cmin, cmax, RB, ray_block)
     nact = jnp.sum((bt0 < KINF).astype(jnp.int32), axis=1)     # (RB,)
-    order = jnp.argsort(bt0, axis=1)                           # actives first
-    bt0_sorted = jnp.take_along_axis(bt0, order, axis=1)
+    order = jnp.argsort(bt0, axis=1).astype(jnp.int32)         # actives first
+    bt0_sorted = jnp.take_along_axis(bt0, order, axis=1)       # (RB, C)
 
     rays = jnp.concatenate(
         [origin, direction, t_best[:, None], t_lim[:, None],
-         jnp.zeros((Rp, 8), jnp.float32)], axis=1).reshape(RB, RAY_BLOCK, 16)
-    prev = prev_pay.reshape(RB, RAY_BLOCK, 16)
+         jnp.zeros((Rp, 8), jnp.float32)], axis=1).reshape(RB, ray_block, 16)
+    prev = prev_pay.reshape(RB, ray_block, 16)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,   # nact, clist, bt0, base live in SMEM
-        grid=(RB,),
-        in_specs=[
-            pl.BlockSpec((1, RAY_BLOCK, 16),
-                         lambda r, n, c, b, z: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_BLOCK, 16),
-                         lambda r, n, c, b, z: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # whole chunk table VMEM-resident for the full grid
-            pl.BlockSpec(tris.shape, lambda r, n, c, b, z: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, RAY_BLOCK, 16),
-                               lambda r, n, c, b, z: (r, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    ray_specs = [
+        pl.BlockSpec((1, ray_block, 16),
+                     (lambda r, *_: (r, 0, 0)) if prefetch
+                     else (lambda r: (r, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for _ in range(2)
+    ]
+    # whole chunk table(s) VMEM-resident for the full grid
+    tbl_specs = [
+        pl.BlockSpec(t.shape,
+                     (lambda r, *_: (0, 0)) if prefetch
+                     else (lambda r: (0, 0)),
+                     memory_space=pltpu.VMEM)
+        for t in tbl
+    ]
+    out_spec = pl.BlockSpec((1, ray_block, 16),
+                            (lambda r, *_: (r, 0, 0)) if prefetch
+                            else (lambda r: (r, 0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    if prefetch:
+        clist = order.reshape(-1)
+        bt0_in = bt0_sorted.reshape(-1)
+        base_arr = jnp.full((1,), base, jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,   # nact, clist, bt0, base live in SMEM
+            grid=(RB,),
+            in_specs=ray_specs + tbl_specs,
+            out_specs=out_spec,
+        )
+        call_kw = dict(grid_spec=grid_spec)
+    else:
+        # the block-sliced axis must be a LEADING dim (Mosaic requires the
+        # last two block dims to equal the array dims unless
+        # 8/128-divisible), so per-block lists are (RB, 1, C) -> (1, 1, C)
+        nact = nact.reshape(RB, 1, 1)
+        clist = order.reshape(RB, 1, C)
+        bt0_in = bt0_sorted.reshape(RB, 1, C)
+        base_arr = jnp.full((1, 1), base, jnp.int32)
+        list_specs = [
+            pl.BlockSpec((1, 1, 1), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda r: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        call_kw = dict(grid=(RB,),
+                       in_specs=list_specs + ray_specs + tbl_specs,
+                       out_specs=out_spec)
+
     # under shard_map every operand must carry the same varying-manual-axes
     # type as the rays; promote the replicated tables with pvary
-    clist = order.reshape(-1).astype(jnp.int32)
-    bt0_flat = bt0_sorted.reshape(-1)
-    base_arr = jnp.full((1,), base, jnp.int32)
     vma = getattr(jax.typeof(rays), "vma", frozenset()) or frozenset()
     if vma:
         def ensure(x):  # promote only the axes an operand is missing
@@ -389,24 +686,27 @@ def _sweep_chunk(origin, direction, prev_pay, tris, cmin, cmax, base,
             missing = tuple(vma - cur)
             return jax.lax.pvary(x, missing) if missing else x
 
-        nact, clist, bt0_flat, base_arr, tris = map(
-            ensure, (nact, clist, bt0_flat, base_arr, tris))
-        out_shape = jax.ShapeDtypeStruct((RB, RAY_BLOCK, 16), jnp.float32,
+        nact, clist, bt0_in, base_arr = map(
+            ensure, (nact, clist, bt0_in, base_arr))
+        tbl = tuple(map(ensure, tbl))
+        out_shape = jax.ShapeDtypeStruct((RB, ray_block, 16), jnp.float32,
                                          vma=vma)
     else:
-        out_shape = jax.ShapeDtypeStruct((RB, RAY_BLOCK, 16), jnp.float32)
+        out_shape = jax.ShapeDtypeStruct((RB, ray_block, 16), jnp.float32)
+    kernel = (_make_sweep_kernel(prefetch) if variant == "mt"
+              else _make_sweep_kernel_mxu(prefetch))
     payload = pl.pallas_call(
-        _sweep_kernel,
-        grid_spec=grid_spec,
+        kernel,
         out_shape=out_shape,
         interpret=interpret,
-    )(nact, clist, bt0_flat, base_arr, rays, prev, tris)
+        **call_kw,
+    )(nact, clist, bt0_in, base_arr, rays, prev, *tbl)
     return payload.reshape(Rp, 16)
 
 
-def table_chunks(C: int):
+def table_chunks(C: int, bytes_per_cluster: int = CLUSTER_ROWS * 128 * 4):
     """Static chunking of C clusters into VMEM-budget slices."""
-    cmax_clusters = VMEM_TABLE_BYTES // (CLUSTER_ROWS * 128 * 4)
+    cmax_clusters = VMEM_TABLE_BYTES // bytes_per_cluster
     n = -(-C // cmax_clusters)
     bounds = []
     for k in range(n):
@@ -415,15 +715,25 @@ def table_chunks(C: int):
     return bounds
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "ray_block", "variant"))
 def cluster_sweep(origin, direction, t_init, tris, cmin, cmax,
-                  interpret: bool = False):
+                  interpret: bool = False, ray_block: int = RAY_BLOCK,
+                  variant: str = "mt", mat_tbl=None):
     """Closest-hit query of R rays against clustered triangles.
 
     origin/direction (R,3) f32, t_init (R,) f32 (search upper bound, e.g.
     the closest sphere hit); tables from build_cluster_tables.  Returns the
     (R, 16) winner payload (column layout above).  Pure discrete search —
     call under stop_gradient and re-shade differentiably outside.
+    ``ray_block``: rays per kernel grid step — smaller blocks span tighter
+    frusta under Morton-sorted rays (fewer active clusters each) at the
+    cost of more grid steps; measured tradeoff in BASELINE.md round 5.
+    ``variant``: "mt" (Moller-Trumbore VPU kernel, bit-faithful to the
+    brute semantics) or "mxu" (plane-form kernel whose six dot products
+    ride one MXU matmul per visit — pass ``tris`` from
+    build_cluster_tables_mxu plus its ``mat_tbl``; results agree with MT
+    to f32 roundoff, not bitwise, and payload vertex columns are zero).
 
     Scenes beyond the VMEM table budget run CHUNKED: the cluster axis is
     cut into budget-sized slices, each swept by its own pallas_call with
@@ -434,7 +744,7 @@ def cluster_sweep(origin, direction, t_init, tris, cmin, cmax,
     CULL_MATERIALIZE_ELEMS scratch (see _cull).
     """
     R = origin.shape[0]
-    pad = (-R) % RAY_BLOCK
+    pad = (-R) % ray_block
     if pad:
         # replicate ray 0: coherent with block 0, costs ~nothing
         origin = jnp.concatenate([origin,
@@ -450,17 +760,35 @@ def cluster_sweep(origin, direction, t_init, tris, cmin, cmax,
     if vma and interpret:
         # interpret-mode kernels cannot be traced with varying-manual-axes
         # types (shard_map on CPU); the jnp reference is semantically
-        # identical and exercises the same cull
+        # identical and exercises the same cull.  (MXU-variant callers do
+        # not hit this path: the sweep renderer only selects "mxu" when
+        # compiling for real TPU.)
+        if variant != "mt":
+            raise NotImplementedError(
+                "cluster_sweep variant='mxu' has no shard_map-on-CPU "
+                "reference path; use variant='mt' there")
         pay = sweep_reference(origin, direction, t_init, tris, cmin, cmax)
         return pay[:R]
+
+    if variant == "mt":
+        tbl_slice = (lambda c0, c1:
+                     (tris[c0 * CLUSTER_ROWS:c1 * CLUSTER_ROWS],))
+        bpc = CLUSTER_ROWS * 128 * 4
+    else:
+        if mat_tbl is None:
+            raise ValueError("variant='mxu' requires mat_tbl from "
+                             "build_cluster_tables_mxu")
+        tbl_slice = (lambda c0, c1: (tris[c0 * MXU_ROWS:c1 * MXU_ROWS],
+                                     mat_tbl[c0:c1]))
+        bpc = (MXU_ROWS * MXU_FIELDS + 1) * 128 * 4
 
     pay = jnp.concatenate(
         [t_init[:, None],
          jnp.zeros((Rp, 10), jnp.float32),
          jnp.full((Rp, 1), -1.0, jnp.float32),
          jnp.zeros((Rp, 4), jnp.float32)], axis=1)
-    for c0, c1 in table_chunks(C):
-        pay = _sweep_chunk(origin, direction, pay,
-                           tris[c0 * CLUSTER_ROWS:c1 * CLUSTER_ROWS],
-                           cmin[c0:c1], cmax[c0:c1], c0, interpret)
+    for c0, c1 in table_chunks(C, bpc):
+        pay = _sweep_chunk(origin, direction, pay, tbl_slice(c0, c1),
+                           cmin[c0:c1], cmax[c0:c1], c0, interpret,
+                           ray_block, variant)
     return pay[:R]

@@ -143,6 +143,14 @@ class MeshBank:
     #   (device addresses, pathTracer.comp:82-88) with a precomputed O(1)
     #   column — liveness checks and vertex-offset recovery become single
     #   gathers instead of O(T*D)/O(R*D) draw-table rescans per bounce.
+    tri_neighbor: jax.Array   # (I//3, 3) int32 — bank-global neighbor
+    #   triangle across edge k (edges: (a,b), (b,c), (c,a)); -1 = boundary
+    #   or padding.  Host-built from position-keyed edge adjacency
+    #   (triangle_neighbors); consumed by the mesh silhouette-gradient
+    #   estimator to classify edges as silhouette (neighbor back-facing /
+    #   boundary) vs interior (no coverage smoothing) — the reference has
+    #   no gradients at all (SURVEY §2.6), this serves the BASELINE
+    #   north-star "vertex positions" gradient set.
     bvh_min: jax.Array        # (N, 3) f32
     bvh_max: jax.Array        # (N, 3) f32
     bvh_left: jax.Array       # (N,) int32 — left child or first index offset
@@ -193,6 +201,7 @@ class MeshBank:
             indices=jnp.zeros(index_capacity, I32),
             tri_material=jnp.zeros(index_capacity // 3, I32),
             tri_draw=jnp.full(index_capacity // 3, -1, I32),
+            tri_neighbor=jnp.full((index_capacity // 3, 3), -1, I32),
             bvh_min=jnp.full((node_capacity, 3), np.float32(np.finfo(np.float32).max)),
             bvh_max=jnp.full((node_capacity, 3), np.float32(-np.finfo(np.float32).max)),
             bvh_left=jnp.zeros(node_capacity, I32),
@@ -399,6 +408,7 @@ class SceneBuilder:
         idx = np.zeros(icap, np.int32)
         trimat = np.zeros(icap // 3, np.int32)
         tridraw = np.full(icap // 3, -1, np.int32)
+        trineigh = np.full((icap // 3, 3), -1, np.int32)
         node_min = np.full((ncap, 3), np.finfo(np.float32).max, np.float32)
         node_max = np.full((ncap, 3), -np.finfo(np.float32).max, np.float32)
         node_left = np.zeros(ncap, np.int32)
@@ -418,6 +428,10 @@ class SceneBuilder:
             idx[io:io + I] = m["bvh"].indices  # BVH-reordered index buffer
             trimat[io // 3:(io + I) // 3] = m["tri_material"][m["bvh"].tri_order]
             tridraw[io // 3:(io + I) // 3] = d
+            # adjacency over the BVH-reordered triangles, shifted bank-global
+            nbr = triangle_neighbors(m["vertices"], m["bvh"].indices)
+            trineigh[io // 3:(io + I) // 3] = np.where(
+                nbr >= 0, nbr + io // 3, -1)
             node_min[no:no + N] = m["bvh"].node_min
             node_max[no:no + N] = m["bvh"].node_max
             node_left[no:no + N] = m["bvh"].node_left
@@ -433,6 +447,7 @@ class SceneBuilder:
             uvs=jnp.asarray(uvs), indices=jnp.asarray(idx),
             tri_material=jnp.asarray(trimat),
             tri_draw=jnp.asarray(tridraw),
+            tri_neighbor=jnp.asarray(trineigh),
             bvh_min=jnp.asarray(node_min), bvh_max=jnp.asarray(node_max),
             bvh_left=jnp.asarray(node_left), bvh_count=jnp.asarray(node_count),
             bvh_escape=jnp.asarray(node_escape),
@@ -441,6 +456,55 @@ class SceneBuilder:
             draw_count=jnp.asarray(nd, I32),
             max_leaf_tris=max_leaf,
         )
+
+
+def triangle_neighbors(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """(T, 3) int32 neighbor triangle ids (mesh-local), -1 = boundary.
+
+    Edge k of triangle t spans its vertices (k, (k+1)%3) — i.e. (a,b),
+    (b,c), (c,a).  Adjacency is keyed on vertex POSITIONS (exact bitwise
+    match), not vertex ids, so vertices duplicated by the OBJ loader's
+    (v,vt,vn) dedup or by normal splits still stitch into one surface.
+    An edge shared by exactly two triangles links them; boundary edges and
+    non-manifold edges (>2 faces) stay -1 (the silhouette estimator treats
+    -1 as a silhouette edge — correct for boundaries, conservative for
+    non-manifold seams).
+
+    Consumed by the mesh silhouette-gradient estimator (render/golden.py
+    intersect_primary_edge); the reference has no analog (no gradients,
+    SURVEY §2.6).
+    """
+    tri = np.asarray(indices, np.int64).reshape(-1, 3)
+    T = len(tri)
+    nbr = np.full((T, 3), -1, np.int32)
+    if T == 0:
+        return nbr
+    # collapse position-identical vertices to one key
+    _, vkey = np.unique(np.asarray(vertices, np.float32)[..., :3],
+                        axis=0, return_inverse=True)
+    k = vkey[tri]                                   # (T, 3)
+    e0 = np.stack([k[:, 0], k[:, 1]], 1)
+    e1 = np.stack([k[:, 1], k[:, 2]], 1)
+    e2 = np.stack([k[:, 2], k[:, 0]], 1)
+    edges = np.sort(np.concatenate([e0, e1, e2]), axis=1)   # (3T, 2)
+    keys = edges[:, 0] * (vkey.max() + 1) + edges[:, 1]
+    owner_tri = np.tile(np.arange(T), 3)
+    owner_slot = np.repeat(np.arange(3), T)
+    uniq, inv, counts = np.unique(keys, return_inverse=True,
+                                  return_counts=True)
+    # pair up edges appearing exactly twice
+    order = np.argsort(inv, kind="stable")
+    starts = np.zeros(len(uniq), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    two = np.where(counts == 2)[0]
+    for g in two:
+        i0, i1 = order[starts[g]], order[starts[g] + 1]
+        t0, s0 = owner_tri[i0], owner_slot[i0]
+        t1, s1 = owner_tri[i1], owner_slot[i1]
+        if t0 != t1:
+            nbr[t0, s0] = t1
+            nbr[t1, s1] = t0
+    return nbr
 
 
 def escape_links(node_left: np.ndarray, node_count: np.ndarray) -> np.ndarray:

@@ -102,10 +102,36 @@ class RenderConfig:
     #                              kernel stage for incoherent bounce
     #                              wavefronts, +22% end-to-end on the
     #                              bunny bench (BASELINE.md round 4);
-    #                              "static" = pixel tile permutation
-    #                              (reshape-only, free, primary rays only);
+    #                              "static" = fixed pixel-tile permutation
+    #                              (reshape-only, free) applied to every
+    #                              query — it mainly helps coherent
+    #                              primary rays, later bounces keep the
+    #                              permutation but little of the benefit;
     #                              "off" = none.  All three produce
-    #                              bit-identical images (tests/test_sweep).
+    #                              identical images except on exact
+    #                              cross-cluster f32 t-ties (measure
+    #                              zero; see kernels/cluster.py
+    #                              _sweep_kernel tie note).
+
+    cluster_kernel: str = "mt"   # cluster-sweep triangle-test kernel:
+    #                              "mt" = Moller-Trumbore on the VPU
+    #                              (bit-faithful to the brute oracle);
+    #                              "mxu" = plane-form variant whose six
+    #                              per-(ray,triangle) dot products ride one
+    #                              MXU matmul per cluster visit
+    #                              (kernels/cluster.py
+    #                              mxu_tables_from_coords) — agrees with
+    #                              "mt" to f32 roundoff, not bitwise.
+    #                              Measured tradeoff: BASELINE.md round 5.
+
+    ray_block: int = 0           # cluster-sweep rays per kernel grid step
+    #                              (0 = kernels/cluster.py default).  Under
+    #                              dynamic ray sorting, smaller blocks span
+    #                              tighter frusta (fewer active clusters
+    #                              per block) at the cost of more grid
+    #                              steps; the round-5 SMEM-slice active
+    #                              lists removed the old 512 floor.
+    #                              Measured tradeoff: BASELINE.md round 5.
 
     traversal: str = "stackless"  # BVH walk flavor: "stackless" = escape-link
     #                               DFS (one i32 cursor per lane, cheapest
@@ -131,6 +157,11 @@ class RenderConfig:
             raise ValueError(f"unknown sky model: {self.sky!r}")
         if self.ray_sort not in ("static", "dynamic", "off"):
             raise ValueError(f"unknown ray_sort: {self.ray_sort!r}")
+        if self.ray_block and (self.ray_block < 8
+                               or self.ray_block & (self.ray_block - 1)):
+            raise ValueError("ray_block must be 0 or a power of two >= 8")
+        if self.cluster_kernel not in ("mt", "mxu"):
+            raise ValueError(f"unknown cluster_kernel: {self.cluster_kernel!r}")
         if self.traversal not in ("stackless", "stack"):
             raise ValueError(f"unknown traversal: {self.traversal!r}")
         if self.compact_blocks <= 0:
