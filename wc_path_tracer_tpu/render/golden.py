@@ -1277,7 +1277,22 @@ def render_frame(scene: Scene, mats: CameraMatrices, cfg: RenderConfig,
 
     Mirrors main() (pathTracer.comp:289-312): pixel-center rays, per-pixel
     seed ``pcg_hash(x + y*W + frame*719393)``, samples-loop carrying the seed.
+
+    ``cfg.row_chunks_resolved`` > 1 renders the frame as that many row
+    bands vmapped into ONE dispatch — bit-identical pixels (seeds are
+    global per pixel) but a (chunks, rays/chunk)-batched organization
+    that measures up to ~1.3x faster fwd+bwd at 1024^2 than the flat
+    single-band graph on this hardware (BASELINE.md round 5: the same
+    arithmetic in a leading-batch layout schedules better than one
+    2^20-row op chain).
     """
+    rc = cfg.row_chunks_resolved
+    if rc > 1 and cfg.height % rc == 0:
+        band = cfg.height // rc
+        y0s = jnp.arange(rc, dtype=jnp.uint32) * np.uint32(band)
+        rows = jax.vmap(lambda y0: render_rows(
+            scene, mats, cfg, frame_count, y0, band, intersect_fn))(y0s)
+        return rows.reshape(cfg.height, cfg.width, 3)
     return render_rows(scene, mats, cfg, frame_count, 0, cfg.height,
                        intersect_fn)
 

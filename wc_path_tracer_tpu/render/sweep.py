@@ -476,5 +476,8 @@ def render_rows(scene, mats, cfg, frame_count, y0, num_rows):
 
 
 def render_frame(scene, mats, cfg, frame_count):
-    return golden.render_frame(scene, mats, cfg, frame_count,
-                               intersect_fn=make_intersect_fn(scene, cfg))
+    # NOTE: bypasses golden.render_frame's row-chunk vmap (cfg.row_chunks)
+    # — vmapping the Pallas cluster kernel is untested on Mosaic; the
+    # sweep path renders the frame as one band.
+    return golden.render_rows(scene, mats, cfg, frame_count, 0, cfg.height,
+                              intersect_fn=make_intersect_fn(scene, cfg))

@@ -86,6 +86,12 @@ class RenderConfig:
     #                              compaction).
 
     @property
+    def row_chunks_resolved(self) -> int:
+        if self.row_chunks:
+            return self.row_chunks
+        return 8 if (self.height >= 512 and self.height % 8 == 0) else 1
+
+    @property
     def compact_from_resolved(self) -> int:
         if self.compact_from is not None:
             return self.compact_from
@@ -112,6 +118,17 @@ class RenderConfig:
     #                              cross-cluster f32 t-ties (measure
     #                              zero; see kernels/cluster.py
     #                              _sweep_kernel tie note).
+
+    row_chunks: int = 0          # render the frame as this many row bands
+    #                              vmapped into one batched dispatch
+    #                              (golden.render_frame).  BIT-IDENTICAL
+    #                              output (pixel seeds are global), but
+    #                              measured up to ~1.3x faster fwd+bwd at
+    #                              1024^2: a (8, 131072)-ray organization
+    #                              outruns one flat (1048576,)-ray graph
+    #                              on this hardware (BASELINE.md round 5).
+    #                              0 = auto (8 when height is divisible
+    #                              and >= 512); 1 = off.
 
     cluster_kernel: str = "mt"   # cluster-sweep triangle-test kernel:
     #                              "mt" = Moller-Trumbore on the VPU
@@ -162,6 +179,12 @@ class RenderConfig:
             raise ValueError("ray_block must be 0 or a power of two >= 8")
         if self.cluster_kernel not in ("mt", "mxu"):
             raise ValueError(f"unknown cluster_kernel: {self.cluster_kernel!r}")
+        if self.row_chunks < 0:
+            raise ValueError("row_chunks must be >= 0")
+        if self.row_chunks > 1 and self.height % self.row_chunks:
+            raise ValueError(
+                f"height {self.height} not divisible by row_chunks "
+                f"{self.row_chunks}")
         if self.traversal not in ("stackless", "stack"):
             raise ValueError(f"unknown traversal: {self.traversal!r}")
         if self.compact_blocks <= 0:
