@@ -89,6 +89,10 @@ class RenderConfig:
     def row_chunks_resolved(self) -> int:
         if self.row_chunks:
             return self.row_chunks
+        # measured: 16 chunks edge out 8 at 1024^2 (129.9 vs 128.0
+        # Mrays/s fwd+bwd); below 1024 rows, 8 keeps bands >= 64 rows
+        if self.height >= 1024 and self.height % 16 == 0:
+            return 16
         return 8 if (self.height >= 512 and self.height % 8 == 0) else 1
 
     @property
