@@ -447,3 +447,30 @@ def test_mxu_kernel_variant_matches_mt():
         scene, mats, cfg.replace(cluster_kernel="mt"), 1)
     np.testing.assert_allclose(np.asarray(img_mx), np.asarray(img_mt),
                                atol=2e-5)
+
+
+def test_smem_slice_active_lists_match_prefetch(monkeypatch):
+    """The per-block SMEM-slice active-list transport (used when RB*C
+    exceeds the scalar-prefetch budget — the round-5 ceiling removal)
+    must produce the prefetch path's payload bit-for-bit."""
+    from wc_path_tracer_tpu.kernels import cluster
+    from wc_path_tracer_tpu.ops import intersect as ix
+    scene = random_soup_scene(n_tris=200, seed=31)
+    o, d = random_rays(1024, 32)
+    t_init = jnp.full((1024,), ix.KINFINITY, jnp.float32)
+    tables = cluster.build_cluster_tables(scene.mesh)
+
+    pay_pre = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
+                                               interpret=True)
+    monkeypatch.setattr(cluster, "SMEM_LIST_INTS", 1)  # force slice path
+    pay_sl = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
+                                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(pay_pre), np.asarray(pay_sl))
+
+    # and through a ray_block override (the knob the redesign unlocks)
+    pay_rb = cluster.cluster_sweep.__wrapped__(o, d, t_init, *tables,
+                                              interpret=True, ray_block=128)
+    hit = np.asarray(pay_pre[:, 11]) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(pay_rb[:, 11]) >= 0)
+    np.testing.assert_allclose(np.asarray(pay_rb[:, 0])[hit],
+                               np.asarray(pay_pre[:, 0])[hit], rtol=1e-6)
