@@ -418,8 +418,10 @@ def intersect_primary_edge(scene: Scene, origin, direction, cfg: RenderConfig,
     discriminant is clamped a quarter-pixel from tangency; mis-shading
     within the half-pixel band of interior crease edges (the parked plane
     can win over the neighbor's exact hit); overlapping same-class
-    silhouettes blend against the other class/sky only.  Secondary-bounce
-    (shadow/reflection) boundaries remain interior-only.
+    silhouettes blend against the other class/sky only.  NEE shadow rays
+    get soft sphere-occluder penumbras (_soft_sphere_shadow);
+    triangle-occluder shadows and reflection boundaries remain
+    interior-only.
 
     ``tri_edge_fn``: widened triangle query backend —
     tri_edge_candidate_brute (default) or the cluster-sweep variant bound
@@ -541,13 +543,26 @@ def trace_rays_edge(scene: Scene, origin, direction, seed, seed_bg,
     rec0, alpha, rec_bg = intersect_primary_edge(scene, origin, direction,
                                                  cfg, pix_ang, tri_edge_fn)
 
+    # The bounce-0 intersect_fn is swapped for a closure returning the
+    # precomputed edge-aware record, but _bounce_segment ALSO routes the
+    # NEE shadow query through intersect_fn — so the swap must delegate
+    # OCCLUSION to the real backend.  (Round-5 bug fix: without this, the
+    # bounce-0 shadow "query" returned the primary record itself, so any
+    # surface closer than its sampled light point shadowed ITSELF and
+    # NEE+edge_grads lost most direct light — measured 4x darkening.)
+    real_occ = getattr(intersect_fn, "occlusion_fn", None) or occluded_brute
+
     def run(rec_primary, s):
+        def fn0(sc, o, d, c):
+            return rec_primary
+        fn0.occlusion_fn = real_occ
+
         carry = _initial_carry(origin, direction, s)
         # Python loop (not lax.scan) so bounce 0 can swap in the
         # precomputed record; bounce counts are <= 9, matching the plain
         # path's unrolled scan.
         for i in range(cfg.max_bounces + 1):
-            fn = (lambda sc, o, d, c: rec_primary) if i == 0 else intersect_fn
+            fn = fn0 if i == 0 else intersect_fn
             carry = _bounce_segment(scene, cfg, fn, carry)
         return carry[2], carry[4]
 
@@ -595,6 +610,13 @@ def occluded_brute(scene: Scene, origin, direction, max_dist, cfg: RenderConfig)
     t_live = _live_triangle_mask(scene)[None, :]
     t_occ = jnp.any(t_hit & t_live & (t_t < max_dist[:, None]), axis=-1)
     return s_occ | t_occ
+
+
+# the brute backend's registered any-hit (sample_direct_light's occ_fn
+# protocol, same as the sweep/wavefront backends): bit-identical to the
+# closest-hit fallback per the docstring above, ~half the cost, and the
+# default the edge path's bounce-0 swap delegates to (trace_rays_edge)
+intersect_scene_brute.occlusion_fn = occluded_brute
 
 
 def _fresnel_reflectance(in_dir, normal, ior_a, ior_b):
@@ -670,6 +692,52 @@ def _light_tables(scene: Scene):
 
     weights = jnp.concatenate([s_w, t_w])            # (S+T,)
     return weights, s_lum, t_lum, tri, a, b, c
+
+
+_SHADOW_BAND = np.float32(0.15)   # ramp width as a fraction of the
+#   geometric penumbra (see the w comment in _soft_sphere_shadow)
+
+
+def _soft_sphere_shadow(scene: Scene, origin, wi, dist, extent, mask):
+    """Fractional sphere-occluder visibility for the coverage estimator
+    (cfg.edge_grads): secondary-bounce (shadow) silhouettes, v2 of the
+    SURVEY §7.2 boundary-term plan — the reference has no gradients at all.
+
+    Hard shadow visibility is a step function of occluder position/radius,
+    so plain autodiff carries zero gradient for an occluder that only
+    affects the image through its shadow.  This replaces the boolean gate
+    with the product over spheres of a linear penumbra ramp
+    ``clip(0.5 + (b - r)/w, 0, 1)``: b = ray-to-center miss distance
+    (attached), w = the geometric penumbra width of the PICKED light at
+    the occluder, ``extent * t_ca / max(dist - t_ca, eps)`` (extent =
+    light radius / sqrt(tri area)).  Fully attached, no extra PCG draws;
+    exact for non-overlapping penumbras (product form).  Triangles remain
+    hard occluders (documented v2 scope; the caller queries them with
+    spheres disabled)."""
+    sph = scene.spheres
+    q = sph.position[None, :, :] - origin[:, None, :]          # (R, S, 3)
+    t_ca = jnp.sum(q * wi[:, None, :], axis=-1)                # (R, S)
+    b2 = jnp.sum(q * q, axis=-1) - t_ca * t_ca
+    b = ix.safe_sqrt(jnp.maximum(b2, F32(0.0)))
+    live = (jnp.arange(sph.capacity, dtype=jnp.int32)
+            < sph.count)[None, :]
+    between = (t_ca > F32(0.0)) & (t_ca < dist[:, None])
+    # w stays ATTACHED: the penumbra width depends on the occluder's
+    # position along the ray (t_ca) and on the light extent, and central
+    # differences see d(w)/d(params) — detaching it was measured as AD
+    # capturing only ~54% of FD (round 5).  The band is a SMALL fraction
+    # of the geometric penumbra: the MC sampling over the light area
+    # already integrates the true penumbra (each sample's visibility is a
+    # step toward its sampled point); the ramp only has to make each
+    # per-sample step continuous.  A full-penumbra band double-counts and
+    # visibly over-blurs the primal (measured: the whole floor dims).
+    ratio = jnp.clip(t_ca / jnp.maximum(dist[:, None] - t_ca, F32(1e-4)),
+                     F32(0.0), F32(4.0))
+    w = jnp.maximum(_SHADOW_BAND * extent[:, None] * ratio, F32(1e-5))
+    v = jnp.clip(F32(0.5) + (b - sph.radius[None, :]) / w,
+                 F32(0.0), F32(1.0))
+    v = jnp.where(live & between & mask[:, None], v, F32(1.0))
+    return jnp.prod(v, axis=-1)
 
 
 def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
@@ -748,15 +816,32 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     # forward-only any-hit query (registered per closest-hit backend via the
     # occlusion_fn attribute; falls back to the full closest-hit query)
     occ_fn = getattr(intersect_fn, "occlusion_fn", None)
+    if cfg.edge_grads:
+        # coverage estimator for shadow silhouettes: spheres become soft
+        # penumbra ramps (attached, _soft_sphere_shadow); triangles stay
+        # hard occluders queried with spheres disabled so they are not
+        # double-counted
+        scene_hard = dataclasses.replace(
+            scene, spheres=dataclasses.replace(
+                scene.spheres, count=jnp.asarray(0, jnp.int32)))
+        extent = jnp.where(
+            is_sphere_light, sph.radius[s_idx],
+            ix.safe_sqrt(F32(0.5) * ix.safe_sqrt(jnp.sum(
+                jnp.cross(tb - ta, tc - ta) ** 2, axis=-1))))
+        v_soft = _soft_sphere_shadow(scene, shadow_o, wi, dist,
+                                     extent, mask & has_lights)
+    else:
+        scene_hard = scene
+        v_soft = None
     if occ_fn is not None:
         # disabled lanes (non-NEE lobes, dead rays, lightless scenes) get a
         # -inf search bound: ``ok`` masks their result anyway, and backends
         # that cull by the bound (cluster sweep) then do zero work for them
-        visible = ~occ_fn(scene, shadow_o, wi,
+        visible = ~occ_fn(scene_hard, shadow_o, wi,
                           jnp.where(mask & has_lights, thresh, -KINF),
                           cfg)
     else:
-        shadow = intersect_fn(scene, shadow_o, wi, cfg)
+        shadow = intersect_fn(scene_hard, shadow_o, wi, cfg)
         visible = (~shadow.hit) | (shadow.t >= thresh)
 
     # pdf_area = (w_pick / total) / area_pick = lum_pick / total
@@ -766,6 +851,10 @@ def sample_direct_light(scene: Scene, rec: "HitRecord", seed, mask,
     G = jnp.clip(cos_surf, 0.0, None) * jnp.clip(cos_light, 0.0, None) \
         / (safe_dist * safe_dist)
     contrib = L_e * (G / pdf_a)[:, None]
+    if v_soft is not None:
+        # fractional sphere-shadow visibility rides the contribution
+        # (attached); the boolean gate keeps only the hard triangle term
+        contrib = contrib * v_soft[:, None]
     ok = mask & has_lights & visible & (cos_surf > F32(0.0)) \
         & (cos_light > F32(0.0)) & (lum_pick > F32(0.0))
     # solid-angle pdf of this light sample (for the MIS balance weight):

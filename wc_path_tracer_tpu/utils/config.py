@@ -60,15 +60,20 @@ class RenderConfig:
     edge_grads: bool = False     # silhouette/visibility gradients via the
     #                              coverage (smoothed-primal) estimator:
     #                              primary rays accept sphere hits within
-    #                              half a pixel of the silhouette and the
-    #                              frame blends hit/background paths by the
-    #                              analytic differentiable coverage — the
+    #                              half a pixel of the silhouette AND
+    #                              miter-widened triangle hits near
+    #                              adjacency-classified silhouette edges
+    #                              (golden.intersect_primary_edge /
+    #                              tri_edge_candidate_*), blending hit and
+    #                              per-ray loser-candidate paths by the
+    #                              analytic coverage; NEE shadow rays get
+    #                              soft sphere-occluder penumbra ramps
+    #                              (golden._soft_sphere_shadow) — the
     #                              image becomes continuous in geometry and
     #                              camera parameters, so autodiff carries
-    #                              the boundary term (golden.
-    #                              intersect_primary_edge). ~2x forward
-    #                              cost; off = reference step-function
-    #                              visibility (zero silhouette gradient).
+    #                              the boundary terms. ~2x forward cost;
+    #                              off = reference step-function visibility
+    #                              (zero silhouette gradient).
 
     compact: bool = False        # alive-ray stream compaction between bounces
     #                              (golden.trace_rays_compact): bit-identical
