@@ -436,3 +436,40 @@ def test_shadow_silhouette_grads_match_fd():
     assert np.isfinite(ad) and np.isfinite(fd)
     assert abs(fd) > 1e-6          # the shadow boundary term is the signal
     assert abs(ad - fd) <= rtol * abs(fd), (ad, fd)
+
+
+def test_edge_grads_nee_primal_consistent():
+    """Regression guard for the round-5 bounce-0 NEE shadow fix: the
+    edge_grads estimator must track the hard estimator's brightness on an
+    NEE-lit scene (the latent round-4 bug shadowed every surface with its
+    own primary hit — a 4x frame darkening)."""
+    b = SceneBuilder()
+    floor = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.7, 0.7, 0.7))
+    lm = b.add_material(MATERIAL_LAMBERTIAN, emission=(1.0, 1.0, 1.0),
+                        emission_strength=8.0)
+    occ = b.add_material(MATERIAL_LAMBERTIAN, albedo=(0.2, 0.2, 0.6))
+    quad = np.array([[-3, 0, -7], [3, 0, -7], [3, 0, -1],
+                     [-3, 0, -7], [3, 0, -1], [-3, 0, -1]], np.float32)
+    b.add_mesh(quad, np.arange(6, dtype=np.int32), tri_material=floor)
+    lq = np.array([[-1, 4, -5], [1, 4, -5], [1, 4, -3],
+                   [-1, 4, -5], [1, 4, -3], [-1, 4, -3]], np.float32)
+    b.add_mesh(lq, np.arange(6, dtype=np.int32), tri_material=lm)
+    b.add_sphere((0.0, 1.2, -4.0), 0.5, occ)
+    scene = b.build()
+    cam = Camera.create(position=(0.0, 2.0, 0.0), pitch=-30.0)
+    mats = camera_matrices(cam, 1.0)
+    cfg = RenderConfig(width=48, height=48, samples=1, max_bounces=1,
+                       sky="black", use_nee=True)
+
+    def avg(c):
+        acc = 0
+        for f in range(6):
+            acc = acc + golden.render_frame(scene, mats, c, f)
+        return float(jnp.mean(acc / 6))
+
+    hard = avg(cfg)
+    soft = avg(cfg.replace(edge_grads=True))
+    assert hard > 0.02          # the scene is actually lit
+    # penumbra smoothing + edge antialiasing shift the mean by a few
+    # percent at most; the round-4 bug produced soft ~= hard / 4
+    assert abs(soft - hard) < 0.12 * hard, (hard, soft)
